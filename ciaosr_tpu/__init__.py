@@ -1,0 +1,12 @@
+"""ciaosr_tpu — a TPU-native JAX framework for arbitrary-scale image
+super-resolution with the capabilities of CiaoSR (CVPR 2023).
+
+Design: JAX/XLA/Pallas compute path, NHWC layouts, static-shape tiling,
+SPMD data parallelism over a `jax.sharding.Mesh`. The reference behavior
+spec lives in SURVEY.md; file:line citations in docstrings point at the
+reference implementation this framework reproduces (without porting it).
+"""
+
+__version__ = "0.1.0"
+
+from ciaosr_tpu.config.registry import Registry, build_from_cfg  # noqa: F401

@@ -1,0 +1,235 @@
+"""Host-side evaluation metrics: PSNR / SSIM (MATLAB-faithful) and NIQE.
+
+Behavioral spec: /root/reference/mmedited/core/evaluation/metrics.py:181-318
+(psnr, ssim) and :340-532 (niqe). Images are uint8-range ([0, 255]) HWC
+arrays; ``convert_to='y'`` converts BGR→Y (BT.601) before scoring;
+``crop_border`` trims each edge.
+
+These run on host (numpy/cv2) — metric evaluation is not device work.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is expected in this image
+    cv2 = None
+
+from ciaosr_tpu.core.color import bgr2ycbcr
+
+
+def _reorder(img: np.ndarray, input_order: str) -> np.ndarray:
+    if input_order not in ("HWC", "CHW"):
+        raise ValueError(f"Wrong input_order {input_order}")
+    if img.ndim == 2:
+        return img[..., None]
+    if input_order == "CHW":
+        return img.transpose(1, 2, 0)
+    return img
+
+
+def _to_y(img: np.ndarray) -> np.ndarray:
+    return bgr2ycbcr(img.astype(np.float32) / 255.0, y_only=True) * 255.0
+
+
+def psnr(img1: np.ndarray, img2: np.ndarray, crop_border: int = 0,
+         input_order: str = "HWC", convert_to: str | None = None) -> float:
+    """PSNR on [0,255]-range images; 20·log10(255/√MSE)."""
+    assert img1.shape == img2.shape, f"shapes differ: {img1.shape} vs {img2.shape}"
+    img1 = _reorder(img1, input_order).astype(np.float32)
+    img2 = _reorder(img2, input_order).astype(np.float32)
+    if isinstance(convert_to, str) and convert_to.lower() == "y":
+        img1, img2 = _to_y(img1), _to_y(img2)
+    elif convert_to is not None:
+        raise ValueError("convert_to must be 'y' or None")
+    if crop_border != 0:
+        img1 = img1[crop_border:-crop_border, crop_border:-crop_border]
+        img2 = img2[crop_border:-crop_border, crop_border:-crop_border]
+    mse = np.mean((img1 - img2) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(255.0 / np.sqrt(mse)))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    if cv2 is not None:
+        k = cv2.getGaussianKernel(size, sigma)
+    else:
+        x = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+        k = np.exp(-(x ** 2) / (2 * sigma ** 2))[:, None]
+        k /= k.sum()
+    return np.outer(k, k.T)
+
+
+def _ssim_single(img1: np.ndarray, img2: np.ndarray) -> float:
+    """Single-channel SSIM: 11×11 σ=1.5 Gaussian window, MATLAB constants,
+    valid-region crop [5:-5] (metrics.py:229-261)."""
+    c1 = (0.01 * 255) ** 2
+    c2 = (0.03 * 255) ** 2
+    img1 = img1.astype(np.float64)
+    img2 = img2.astype(np.float64)
+    window = _gaussian_window()
+
+    if cv2 is not None:
+        def filt(x):
+            return cv2.filter2D(x, -1, window)[5:-5, 5:-5]
+    else:  # pragma: no cover
+        from scipy.signal import correlate2d
+
+        def filt(x):
+            return correlate2d(x, window, mode="valid")
+
+    mu1, mu2 = filt(img1), filt(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    sigma1_sq = filt(img1 ** 2) - mu1_sq
+    sigma2_sq = filt(img2 ** 2) - mu2_sq
+    sigma12 = filt(img1 * img2) - mu1_mu2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    return float(ssim_map.mean())
+
+
+def ssim(img1: np.ndarray, img2: np.ndarray, crop_border: int = 0,
+         input_order: str = "HWC", convert_to: str | None = None) -> float:
+    """Mean per-channel SSIM with the MATLAB-faithful protocol."""
+    assert img1.shape == img2.shape, f"shapes differ: {img1.shape} vs {img2.shape}"
+    img1 = _reorder(img1, input_order)
+    img2 = _reorder(img2, input_order)
+    if isinstance(convert_to, str) and convert_to.lower() == "y":
+        img1 = _to_y(img1.astype(np.float32))[..., None]
+        img2 = _to_y(img2.astype(np.float32))[..., None]
+    elif convert_to is not None:
+        raise ValueError("convert_to must be 'y' or None")
+    if crop_border != 0:
+        img1 = img1[crop_border:-crop_border, crop_border:-crop_border]
+        img2 = img2[crop_border:-crop_border, crop_border:-crop_border]
+    return float(np.mean([_ssim_single(img1[..., i], img2[..., i])
+                          for i in range(img1.shape[2])]))
+
+
+# ---------------------------------------------------------------------------
+# NIQE (no-reference). Needs pristine MVG parameters fitted offline; the
+# reference ships them as a binary blob (niqe_pris_params.npz). We load them
+# from CIAOSR_NIQE_PARAMS (or an explicit path) rather than vendoring data.
+# ---------------------------------------------------------------------------
+
+def _load_niqe_params(path: str | None = None):
+    path = path or os.environ.get("CIAOSR_NIQE_PARAMS")
+    if not path or not os.path.exists(path):
+        raise FileNotFoundError(
+            "NIQE pristine parameters not found. Point CIAOSR_NIQE_PARAMS at "
+            "a niqe_pris_params.npz file (mu_pris_param, cov_pris_param, "
+            "gaussian_window).")
+    data = np.load(path)
+    return (data["mu_pris_param"], data["cov_pris_param"],
+            data["gaussian_window"])
+
+
+def _estimate_aggd_param(block: np.ndarray):
+    """Estimate AGGD (alpha, beta_l, beta_r) — metrics.py:340-380 behavior."""
+    block = block.flatten()
+    gam = np.arange(0.2, 10.001, 0.001)
+    from scipy.special import gamma as g
+    gam_reciprocal = np.reciprocal(gam)
+    r_gam = np.square(g(gam_reciprocal * 2)) / (
+        g(gam_reciprocal) * g(gam_reciprocal * 3))
+
+    left_std = np.sqrt(np.mean(block[block < 0] ** 2)) if np.any(block < 0) else 0.0
+    right_std = np.sqrt(np.mean(block[block > 0] ** 2)) if np.any(block > 0) else 0.0
+    gammahat = left_std / right_std if right_std > 0 else np.inf
+    rhat = (np.mean(np.abs(block))) ** 2 / np.mean(block ** 2)
+    rhatnorm = (rhat * (gammahat ** 3 + 1) * (gammahat + 1)) / (
+        (gammahat ** 2 + 1) ** 2)
+    array_position = np.argmin((r_gam - rhatnorm) ** 2)
+
+    alpha = gam[array_position]
+    beta_l = left_std * np.sqrt(g(1 / alpha) / g(3 / alpha))
+    beta_r = right_std * np.sqrt(g(1 / alpha) / g(3 / alpha))
+    return alpha, beta_l, beta_r
+
+
+def _compute_niqe_feature(block: np.ndarray) -> list:
+    feat = []
+    alpha, beta_l, beta_r = _estimate_aggd_param(block)
+    feat.extend([alpha, (beta_l + beta_r) / 2])
+    shifts = [[0, 1], [1, 0], [1, 1], [1, -1]]
+    for shift in shifts:
+        shifted = np.roll(block, shift, axis=(0, 1))
+        alpha, beta_l, beta_r = _estimate_aggd_param(block * shifted)
+        from scipy.special import gamma as g
+        mean = (beta_r - beta_l) * (g(2 / alpha) / g(1 / alpha))
+        feat.extend([alpha, mean, beta_l, beta_r])
+    return feat
+
+
+def niqe_core(img: np.ndarray, mu_pris, cov_pris, gaussian_window,
+              block_size_h: int = 96, block_size_w: int = 96) -> float:
+    """NIQE over a grayscale [0,255] image — two scales, MATLAB-bicubic
+    half-downsample between scales (metrics.py:400-512)."""
+    from ciaosr_tpu.core.resize import imresize_np
+
+    img = img.astype(np.float64)
+    h, w = img.shape
+    num_block_h = h // block_size_h
+    num_block_w = w // block_size_w
+    img = img[: num_block_h * block_size_h, : num_block_w * block_size_w]
+
+    distparam = []
+    for scale in (1, 2):
+        if cv2 is not None:
+            mu = cv2.filter2D(img, -1, gaussian_window,
+                              borderType=cv2.BORDER_REPLICATE)
+            sigma = np.sqrt(np.abs(
+                cv2.filter2D(img ** 2, -1, gaussian_window,
+                             borderType=cv2.BORDER_REPLICATE) - mu ** 2))
+        else:  # pragma: no cover
+            from scipy.ndimage import correlate
+            mu = correlate(img, gaussian_window, mode="nearest")
+            sigma = np.sqrt(np.abs(
+                correlate(img ** 2, gaussian_window, mode="nearest") - mu ** 2))
+        img_norm = (img - mu) / (sigma + 1)
+
+        feats = []
+        for idx_h in range(num_block_h // scale):
+            for idx_w in range(num_block_w // scale):
+                block = img_norm[
+                    idx_h * block_size_h // scale:(idx_h + 1) * block_size_h // scale,
+                    idx_w * block_size_w // scale:(idx_w + 1) * block_size_w // scale]
+                feats.append(_compute_niqe_feature(block))
+        distparam.append(np.array(feats))
+        if scale == 1:
+            img = imresize_np(img / 255.0, scale=0.5) * 255.0
+            img = img.astype(np.float64)
+
+    distparam = np.concatenate(distparam, axis=1)
+    mu_distparam = np.nanmean(distparam, axis=0)
+    distparam_no_nan = distparam[~np.isnan(distparam).any(axis=1)]
+    cov_distparam = np.cov(distparam_no_nan, rowvar=False)
+    invcov_param = np.linalg.pinv((cov_pris + cov_distparam) / 2)
+    diff = mu_pris - mu_distparam
+    return float(np.sqrt(diff @ invcov_param @ diff))
+
+
+def niqe(img: np.ndarray, crop_border: int = 0, input_order: str = "HWC",
+         convert_to: str = "y", params_path: str | None = None) -> float:
+    """NIQE entry matching the reference protocol (metrics.py:460-532)."""
+    mu_pris, cov_pris, gaussian_window = _load_niqe_params(params_path)
+    img = _reorder(np.squeeze(img), input_order if img.ndim == 3 else "HWC")
+    if img.ndim == 3 and img.shape[2] == 3:
+        if convert_to.lower() == "y":
+            img = _to_y(img.astype(np.float32))
+        elif convert_to.lower() == "gray":
+            if cv2 is None:  # pragma: no cover
+                raise RuntimeError("cv2 required for gray conversion")
+            img = cv2.cvtColor(img.astype(np.float32) / 255.0,
+                               cv2.COLOR_BGR2GRAY) * 255.0
+    else:
+        img = np.squeeze(img)
+    img = np.round(img)
+    if crop_border != 0:
+        img = img[crop_border:-crop_border, crop_border:-crop_border]
+    return niqe_core(img, mu_pris, cov_pris, gaussian_window)

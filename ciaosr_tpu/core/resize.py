@@ -1,0 +1,129 @@
+"""MATLAB-exact bicubic resize, re-derived as a vectorized gather+matmul.
+
+Behavioral spec: the resize family at
+/root/reference/mmedited/utils/utils_image.py:705-911 (``cubic``,
+``calculate_weights_indices``, ``imresize``, ``im_resize``): cubic kernel
+(a=-0.5), antialiasing kernel widening on downscale, per-row weight
+normalization, symmetric (edge-inclusive mirror) boundary handling.
+
+Instead of the reference's per-output-row Python loop over ``mv`` calls we
+precompute an (out, P) index/weight table per axis and apply it as one
+gather + einsum per axis — the same numerics, vectorized, and usable both
+host-side (numpy) and on-device (jnp, static shapes).
+
+Note: the reference trims leading/trailing all-zero weight columns
+(utils_image.py:752-759). Those columns are provably zero for the cubic
+kernel (|distance·scale| >= 2 ⇒ cubic == 0), so keeping them changes
+nothing; we keep them for static shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def cubic_kernel(x: np.ndarray) -> np.ndarray:
+    """Keys cubic convolution kernel with a = -0.5 (MATLAB 'bicubic')."""
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    f = (1.5 * ax3 - 2.5 * ax2 + 1.0) * (ax <= 1.0)
+    f = f + (-0.5 * ax3 + 2.5 * ax2 - 4.0 * ax + 2.0) * ((ax > 1.0) & (ax <= 2.0))
+    return f
+
+
+@lru_cache(maxsize=256)
+def resize_table(in_length: int, out_length: int, scale: float,
+                 antialiasing: bool = True):
+    """Per-axis (indices, weights) for MATLAB bicubic resampling.
+
+    Returns
+      indices: (out, P) int32 source indices, symmetric-reflected into range.
+      weights: (out, P) float64, rows sum to 1.
+    """
+    kernel_width = 4.0
+    if scale < 1 and antialiasing:
+        kernel_width = kernel_width / scale
+
+    x = np.arange(1, out_length + 1, dtype=np.float64)
+    # inverse mapping: 0.5 in output space -> 0.5 in input space
+    u = x / scale + 0.5 * (1.0 - 1.0 / scale)
+    left = np.floor(u - kernel_width / 2.0)
+    p = int(math.ceil(kernel_width)) + 2
+
+    indices = left[:, None] + np.arange(p, dtype=np.float64)[None, :]
+    dist = u[:, None] - indices
+    if scale < 1 and antialiasing:
+        weights = scale * cubic_kernel(dist * scale)
+    else:
+        weights = cubic_kernel(dist)
+    weights = weights / weights.sum(axis=1, keepdims=True)
+
+    idx = indices.astype(np.int64) - 1  # to 0-based
+    # symmetric (mirror, edge-inclusive) boundary: -1 -> 0, -2 -> 1, n -> n-1 ...
+    idx = np.where(idx < 0, -1 - idx, idx)
+    idx = np.where(idx >= in_length, 2 * in_length - 1 - idx, idx)
+    idx = np.clip(idx, 0, in_length - 1)
+    return idx.astype(np.int32), weights
+
+
+def _apply_axis_np(img: np.ndarray, idx: np.ndarray, w: np.ndarray,
+                   axis: int) -> np.ndarray:
+    moved = np.moveaxis(img, axis, 0)          # (in, ...)
+    gathered = moved[idx]                       # (out, P, ...)
+    out = np.einsum("op,op...->o...", w, gathered.astype(np.float64))
+    return np.moveaxis(out, 0, axis)
+
+
+def imresize_np(img: np.ndarray, size=None, scale: float | None = None,
+                antialiasing: bool = True) -> np.ndarray:
+    """Resize an HWC (or HW) float image with MATLAB bicubic semantics.
+
+    Either ``size=(out_h, out_w)`` with an explicit ``scale`` factor, or just
+    ``scale`` (output = ceil(in * scale), as utils_image.py:779).
+    Returns float32.
+    """
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+    in_h, in_w = img.shape[:2]
+    if size is None:
+        assert scale is not None
+        out_h, out_w = math.ceil(in_h * scale), math.ceil(in_w * scale)
+    else:
+        out_h, out_w = size
+        if scale is None:
+            scale = out_h / in_h
+    idx_h, w_h = resize_table(in_h, out_h, float(scale), antialiasing)
+    idx_w, w_w = resize_table(in_w, out_w, float(scale), antialiasing)
+    out = _apply_axis_np(img.astype(np.float64), idx_h, w_h, axis=0)
+    out = _apply_axis_np(out, idx_w, w_w, axis=1)
+    out = out.astype(np.float32)
+    if squeeze:
+        out = out[..., 0]
+    return out
+
+
+def imresize_jnp(img: jnp.ndarray, size, scale: float,
+                 antialiasing: bool = True) -> jnp.ndarray:
+    """Device-side MATLAB bicubic for (..., H, W, C) arrays, static shapes.
+
+    The index/weight tables are computed host-side (static given shapes) and
+    closed over as constants; the apply is two gathers + two einsums —
+    MXU/VPU-friendly and jit-compatible.
+    """
+    *lead, in_h, in_w, c = img.shape
+    out_h, out_w = size
+    idx_h, w_h = resize_table(in_h, out_h, float(scale), antialiasing)
+    idx_w, w_w = resize_table(in_w, out_w, float(scale), antialiasing)
+    w_h = jnp.asarray(w_h, dtype=jnp.float32)
+    w_w = jnp.asarray(w_w, dtype=jnp.float32)
+    g = jnp.take(img, jnp.asarray(idx_h), axis=-3)      # (..., out_h, P, W, C)
+    out = jnp.einsum("op,...opwc->...owc", w_h, g)
+    g = jnp.take(out, jnp.asarray(idx_w), axis=-2)      # (..., out_h, out_w, P, C)
+    out = jnp.einsum("op,...hopc->...hoc", w_w, g)
+    return out

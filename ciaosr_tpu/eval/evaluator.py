@@ -1,0 +1,72 @@
+"""Evaluation driver: dataset → restorer → metric aggregation.
+
+Behavioral spec: the single/multi-gpu test loop + rank-0 aggregation of
+/root/reference/tools/test.py:98-158 (external mmedit drivers). Here a host
+loop feeds the jitted predictors; multi-host aggregation uses
+jax.experimental.multihost_utils when processes > 1.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+
+
+def _save_png(path: str, img01: np.ndarray):
+    from ciaosr_tpu.core.color import tensor2img
+    import cv2
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, tensor2img(img01))  # tensor2img returns BGR uint8
+
+
+def evaluate_dataset(restorer, params, dataset, save_path: str | None = None,
+                     log_every: int = 10, progress=print) -> dict:
+    """Run the eval protocol over a dataset; returns mean metrics.
+
+    Work is sharded over processes by index stride (process i takes items
+    i, i+P, ...), then all-gathered — the ICI/DCN equivalent of the
+    reference's gpu_collect path (tools/test.py:138-146).
+    """
+    nproc = jax.process_count()
+    pid = jax.process_index()
+
+    per_image = []
+    indices = list(range(pid, len(dataset), nproc))
+    t0 = time.time()
+    for n, idx in enumerate(indices):
+        sample = dataset[idx]
+        lq = sample["lq"]
+        gt = sample.get("gt")
+        meta = sample.get("meta", {})
+        target = meta.get("target_size")
+        if target is None and gt is not None and gt.ndim == 3:
+            target = gt.shape[:2]
+        scale = meta.get("scale") or getattr(dataset, "scale", None)
+        out = restorer.forward_test(params, lq, target_shape=target,
+                                    scale=scale)
+        rec = {"idx": idx}
+        if gt is not None and gt.ndim == 3:
+            rec.update(restorer.evaluate(out, gt))
+        per_image.append(rec)
+        if save_path:
+            name = os.path.splitext(os.path.basename(
+                meta.get("gt_path") or f"img_{idx}"))[0]
+            _save_png(os.path.join(save_path, f"{name}.png"), out)
+        if (n + 1) % log_every == 0:
+            progress(f"[eval] {n + 1}/{len(indices)} "
+                     f"({(time.time() - t0) / (n + 1):.2f}s/img)")
+
+    if nproc > 1:  # pragma: no cover - multihost only
+        from jax.experimental import multihost_utils
+        gathered = multihost_utils.process_allgather(per_image)
+        per_image = [r for proc in gathered for r in proc]
+
+    keys = [k for k in per_image[0] if k != "idx"] if per_image else []
+    summary = {k: float(np.mean([r[k] for r in per_image])) for k in keys}
+    summary["n_images"] = len(per_image)
+    summary["elapsed_s"] = time.time() - t0
+    return summary

@@ -1,0 +1,6 @@
+from ciaosr_tpu.models.mlp import ImplicitMLP  # noqa: F401
+from ciaosr_tpu.models.edsr import EDSREncoder  # noqa: F401
+from ciaosr_tpu.models.rdn import RDNEncoder  # noqa: F401
+from ciaosr_tpu.models.csa import CrossScaleAttention  # noqa: F401
+from ciaosr_tpu.models.ciaosr import CiaoSRNet  # noqa: F401
+from ciaosr_tpu.models.builder import build_generator, build_model  # noqa: F401

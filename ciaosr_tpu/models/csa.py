@@ -1,0 +1,129 @@
+"""Cross-Scale (non-local) Attention — batched einsum formulation.
+
+Behavioral spec: CrossScaleAttention at
+/root/reference/mmedited/models/common/arch_csnln.py:407-531. The reference
+runs a Python loop over the batch with data-dependent F.conv2d /
+F.conv_transpose2d per sample (its worst serialization, SURVEY.md §3.4).
+
+TPU-native reformulation (same numerics):
+  correlation   = patch matmul   einsum('bpk,blk->bpl')   [MXU]
+  reconstruction = attn @ patch-bank matmul + overlap-add  [MXU + VPU]
+The data-dependent convolutions disappear entirely; everything is batched.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ciaosr_tpu.ops.neighborhood import extract_patches_same
+from ciaosr_tpu.ops.sampling import interpolate_bilinear
+from ciaosr_tpu.utils.init import torch_kernel_init, torch_bias_init
+
+
+def _overlap_add(k_maps: jnp.ndarray, hp: int, wp: int, s: int,
+                 channels: int) -> jnp.ndarray:
+    """Scatter position-blended (3s×3s) kernels at stride s (padding=s).
+
+    k_maps: (B, Hp*Wp, (3s)^2*C) tap-major → (B, s*Hp, s*Wp, C).
+    Equivalent to conv_transpose2d(attn, kernels, stride=s, padding=s)
+    (arch_csnln.py:511) with the per-position blended kernel K[p] =
+    Σ_l attn[p,l]·raw_w[l] precomputed by matmul.
+
+    Derivation: input position i pastes kernel row u at output s·i - s + u;
+    writing output y = s·i' + a (a∈[0,s)) gives u = s·t + a with
+    t = i' - i + 1 ∈ {0,1,2}; so out[s·i'+a] = Σ_t K[i'+1-t][s·t+a].
+    """
+    b = k_maps.shape[0]
+    k6 = k_maps.reshape(b, hp, wp, 3, s, 3, s, channels)
+    out = jnp.zeros((b, hp, wp, s, s, channels), k_maps.dtype)
+    padded = jnp.pad(k6, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0),
+                          (0, 0), (0, 0)))
+    for t in range(3):
+        for r in range(3):
+            di, dj = 1 - t, 1 - r  # source = i' + di
+            src = padded[:, 1 + di:1 + di + hp, 1 + dj:1 + dj + wp,
+                         t, :, r, :, :]
+            out = out + src
+    # (B, Hp, s, Wp, s, C) → (B, s*Hp, s*Wp, C)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * s, wp * s, channels)
+    return out
+
+
+class CrossScaleAttention(nn.Module):
+    """Scale-aware non-local attention over s·3×3 ↔ 3×3 patch pairs."""
+
+    channels: int = 64
+    reduction: int = 2
+    ksize: int = 3
+    scales: Sequence[int] = (2,)
+    stride: int = 1
+    softmax_scale: float = 10.0
+    average: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        cr = self.channels // self.reduction
+
+        def basic_block(feats, name):
+            def apply(inp):
+                y = nn.Conv(feats, (1, 1), kernel_init=torch_kernel_init,
+                            bias_init=torch_bias_init(inp.shape[-1]),
+                            name=f"{name}_conv")(inp)
+                return nn.PReLU(negative_slope_init=0.25,
+                                name=f"{name}_prelu")(y)
+            return apply
+
+        conv_match_1 = basic_block(cr, "conv_match_1")
+        conv_match_2 = basic_block(cr, "conv_match_2")
+        conv_assembly = basic_block(self.channels, "conv_assembly")
+
+        outs = []
+        for s in self.scales:
+            pad_h = (s - h % s) % s
+            pad_w = (s - w % s) % s
+            xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                         mode="reflect") if (pad_h or pad_w) else x
+            hp, wp = h + pad_h, w + pad_w
+
+            embed = conv_assembly(xp)                       # (B,Hp,Wp,C)
+            match = conv_match_1(xp)                        # (B,Hp,Wp,Cr)
+            ref = interpolate_bilinear(xp, hp // s, wp // s)
+            refm = conv_match_2(ref)                        # (B,h',w',Cr)
+
+            # reference patch bank (keys) + L2 normalization with 1e-4 floor
+            w_pat = extract_patches_same(refm, self.ksize, self.stride)
+            norm = jnp.maximum(
+                jnp.sqrt(jnp.sum(w_pat * w_pat, axis=-1, keepdims=True)),
+                1e-4)
+            w_normed = w_pat / norm                          # (B,L,9Cr)
+
+            # correlation: every full-res neighborhood vs every ref patch
+            x_nb = extract_patches_same(match, self.ksize, self.stride)
+            corr = jnp.einsum("bpk,blk->bpl", x_nb, w_normed,
+                              preferred_element_type=jnp.float32)
+            attn = nn.softmax(corr * self.softmax_scale, axis=-1)
+            if not self.average:
+                attn = (attn == jnp.max(attn, axis=-1, keepdims=True)
+                        ).astype(attn.dtype)
+
+            # reconstruction bank: s·3×3 patches of the embedding, stride s
+            raw = extract_patches_same(embed, self.ksize * s, self.stride * s)
+            k_maps = jnp.einsum("bpl,blk->bpk", attn, raw,
+                                preferred_element_type=jnp.float32)
+            y = _overlap_add(k_maps, hp, wp, s, self.channels)
+
+            # strided conv back to input resolution (arch_csnln.py:423-428)
+            name = "down" if s == 2 else f"downx{s}"
+            y = nn.Conv(self.channels, (self.ksize, self.ksize),
+                        strides=(s, s), padding=((1, 1), (1, 1)),
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(y.shape[-1] * self.ksize ** 2),
+                        name=name)(y)
+            y = y / 6.0
+            outs.append(y[:, :h, :w, :])
+
+        return jnp.concatenate(outs, axis=-1)

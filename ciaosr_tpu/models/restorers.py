@@ -1,0 +1,211 @@
+"""Task-layer restorers: train/val/test orchestration around CiaoSRNet.
+
+Behavioral spec: /root/reference/mmedited/models/restorers/ciaosr.py:18-257
+(CiaoSR) and basic_restorer.py:17-237. The reference's dynamic-shape
+``clip_test`` tiling loop and ``batched_predict`` query chunking become
+static-shape XLA programs here: one compile per (tile, scale-bucket),
+query chunks via lax.map (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ciaosr_tpu.config.registry import MODELS
+from ciaosr_tpu.core.coords import make_coord_cell
+from ciaosr_tpu.core.metrics import psnr, ssim
+from ciaosr_tpu.core.color import tensor2img
+from ciaosr_tpu.models.builder import build_generator
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@MODELS.register(name="CiaoSR")
+class CiaoSRRestorer:
+    """Classical (bicubic-degradation) CiaoSR restorer.
+
+    Holds the flax generator plus the normalization protocol
+    (ciaosr.py:52-58: DIV2K rgb_mean/std buffers) and the eval engine.
+    Parameters are external pytrees (functional style) — training state
+    lives in ciaosr_tpu.train.
+    """
+
+    allowed_metrics = {"PSNR": psnr, "SSIM": ssim}
+
+    def __init__(self, generator: dict, rgb_mean=(0.4488, 0.4371, 0.4040),
+                 rgb_std=(1.0, 1.0, 1.0), pixel_loss: dict | None = None,
+                 train_cfg: Any = None, test_cfg: Any = None):
+        self.generator = build_generator(generator)
+        self.rgb_mean = jnp.asarray(rgb_mean, dtype=jnp.float32)
+        self.rgb_std = jnp.asarray(rgb_std, dtype=jnp.float32)
+        self.pixel_loss_cfg = pixel_loss
+        self.train_cfg = train_cfg
+        self.test_cfg = test_cfg or {}
+        self.eval_bsize = self.generator.eval_bsize
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------- init --
+    def init_params(self, rng, lq_shape=(1, 48, 48, 3), n_queries: int = 64):
+        coord = jnp.zeros((lq_shape[0], n_queries, 2), jnp.float32)
+        cell = jnp.full((lq_shape[0], n_queries, 2), 0.01, jnp.float32)
+        return self.generator.init(rng, jnp.zeros(lq_shape, jnp.float32),
+                                   coord, cell)
+
+    # ---------------------------------------------------------- forward --
+    def normalize(self, img: jnp.ndarray) -> jnp.ndarray:
+        return (img - self.rgb_mean) / self.rgb_std
+
+    def denormalize(self, rgb: jnp.ndarray) -> jnp.ndarray:
+        return rgb * self.rgb_std + self.rgb_mean
+
+    def train_forward(self, params, lq, gt, coord, cell):
+        """Normalized L1 training objective (ciaosr.py:80-93).
+        Returns (loss, pred)."""
+        lq_n = self.normalize(lq)
+        gt_n = (gt - self.rgb_mean) / self.rgb_std
+        pred = self.generator.apply(params, lq_n, coord, cell)
+        loss = jnp.mean(jnp.abs(pred - gt_n))
+        return loss, pred
+
+    # ------------------------------------------------------- eval paths --
+    def _predict_fn(self, h: int, w: int, q_pad: int, chunk: int):
+        """Compiled full-image predictor for static (H, W, Q) shapes."""
+        key = ("pred", h, w, q_pad, chunk)
+        if key not in self._jit_cache:
+            gen = self.generator
+
+            @jax.jit
+            def run(params, lq, coord, cell):
+                lq_n = (lq - self.rgb_mean) / self.rgb_std
+                feature = gen.apply(params, lq_n, method="gen_feature")
+                n_chunks = q_pad // chunk
+                coord_c = coord.reshape(coord.shape[0], n_chunks, chunk, 2)
+                cell_c = cell.reshape(cell.shape[0], n_chunks, chunk, 2)
+
+                def one(args):
+                    co, ce = args  # (B, chunk, 2) each
+                    return gen.apply(params, feature, lq_n, co, ce,
+                                     method="query_rgb")
+
+                preds = jax.lax.map(
+                    one, (coord_c.transpose(1, 0, 2, 3),
+                          cell_c.transpose(1, 0, 2, 3)))
+                pred = preds.transpose(1, 0, 2, 3).reshape(
+                    coord.shape[0], q_pad, -1)
+                pred = pred * self.rgb_std + self.rgb_mean
+                return jnp.clip(pred, 0.0, 1.0)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def predict(self, params, lq: np.ndarray, target_shape) -> np.ndarray:
+        """Full-image arbitrary-scale SR: lq (H,W,3) float32 [0,1] →
+        (th, tw, 3) float32 [0,1]. Query-chunked (batched_predict
+        semantics, eval_bsize) under one jit."""
+        th, tw = target_shape
+        q = th * tw
+        chunk = min(self.eval_bsize or q, q)
+        q_pad = _ceil_to(q, chunk)
+        coord, cell = make_coord_cell((th, tw))
+        coord = np.asarray(coord)
+        cell = np.asarray(cell)
+        if q_pad > q:
+            coord = np.concatenate(
+                [coord, np.zeros((q_pad - q, 2), np.float32)], axis=0)
+            cell = np.concatenate(
+                [cell, np.full((q_pad - q, 2), 0.5, np.float32)], axis=0)
+        h, w = lq.shape[:2]
+        fn = self._predict_fn(h, w, q_pad, chunk)
+        pred = fn(params, jnp.asarray(lq[None]), jnp.asarray(coord[None]),
+                  jnp.asarray(cell[None]))
+        return np.asarray(pred[0, :q]).reshape(th, tw, 3)
+
+    def predict_tiled(self, params, lq: np.ndarray, scale: int,
+                      tile: int, tile_overlap: int = 32) -> np.ndarray:
+        """Overlap-average tiling (clip_test, ciaosr.py:218-257) with
+        static tile shapes: every tile is (tile, tile) on the LR grid →
+        a single XLA program reused across tiles and images."""
+        h, w = lq.shape[:2]
+        tile = min(tile, h, w)
+        stride = tile - tile_overlap
+        hs = sorted(set(list(range(0, h - tile, stride)) + [h - tile]))
+        ws = sorted(set(list(range(0, w - tile, stride)) + [w - tile]))
+        out_t = tile * scale
+        acc = np.zeros((h * scale, w * scale, 3), np.float64)
+        cnt = np.zeros((h * scale, w * scale, 1), np.float64)
+
+        tiles = [(hi, wi) for hi in hs for wi in ws]
+        batch = []
+        coords = []
+        q = out_t * out_t
+        chunk = min(self.eval_bsize or q, q)
+        q_pad = _ceil_to(q, chunk)
+        coord, cell = make_coord_cell((out_t, out_t))
+        coord = np.asarray(coord)
+        cell = np.asarray(cell)
+        if q_pad > q:
+            coord = np.concatenate(
+                [coord, np.zeros((q_pad - q, 2), np.float32)], 0)
+            cell = np.concatenate(
+                [cell, np.full((q_pad - q, 2), 0.5, np.float32)], 0)
+        fn = self._predict_fn(tile, tile, q_pad, chunk)
+
+        tb = int(self.test_cfg.get("tile_batch", 8)) if hasattr(
+            self.test_cfg, "get") else 8
+        for i in range(0, len(tiles), tb):
+            group = tiles[i:i + tb]
+            lq_tiles = np.stack(
+                [lq[hi:hi + tile, wi:wi + tile] for hi, wi in group])
+            n = len(group)
+            if n < tb and len(tiles) > tb:
+                lq_tiles = np.concatenate(
+                    [lq_tiles, np.zeros((tb - n, tile, tile, 3),
+                                        np.float32)], 0)
+            cb = np.broadcast_to(coord[None], (lq_tiles.shape[0], q_pad, 2))
+            eb = np.broadcast_to(cell[None], (lq_tiles.shape[0], q_pad, 2))
+            pred = np.asarray(fn(params, jnp.asarray(lq_tiles),
+                                 jnp.asarray(cb), jnp.asarray(eb)))
+            for j, (hi, wi) in enumerate(group):
+                img = pred[j, :q].reshape(out_t, out_t, 3)
+                acc[hi * scale:hi * scale + out_t,
+                    wi * scale:wi * scale + out_t] += img
+                cnt[hi * scale:hi * scale + out_t,
+                    wi * scale:wi * scale + out_t] += 1.0
+        return (acc / cnt).astype(np.float32)
+
+    def forward_test(self, params, lq: np.ndarray, target_shape=None,
+                     scale: int | None = None) -> np.ndarray:
+        """Reference forward_test dispatch (ciaosr.py:141-169): tiled when
+        test_cfg.tile is set, otherwise full-image chunked prediction."""
+        cfg = self.test_cfg
+        tile = cfg.get("tile") if hasattr(cfg, "get") else None
+        if tile:
+            s = scale or cfg.get("scale")
+            return self.predict_tiled(params, lq, int(s), int(tile),
+                                      int(cfg.get("tile_overlap", 32)))
+        if target_shape is None:
+            s = scale or cfg.get("scale")
+            target_shape = (round(lq.shape[0] * s), round(lq.shape[1] * s))
+        return self.predict(params, lq, target_shape)
+
+    def evaluate(self, output: np.ndarray, gt: np.ndarray) -> dict:
+        """Metric protocol (basic_restorer.py:101-124): uint8 BGR images,
+        crop_border + convert_to from test_cfg."""
+        cfg = self.test_cfg
+        crop_border = cfg.get("crop_border", 0)
+        convert_to = cfg.get("convert_to")
+        out_img = tensor2img(output)
+        gt_img = tensor2img(gt)
+        results = {}
+        for name in cfg.get("metrics", ["PSNR"]):
+            fn = self.allowed_metrics[name]
+            results[name] = fn(out_img, gt_img, crop_border=crop_border,
+                               convert_to=convert_to)
+        return results

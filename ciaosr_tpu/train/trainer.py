@@ -1,0 +1,164 @@
+"""Iteration-based trainer: the mmcv IterBasedRunner + hooks, TPU-native.
+
+Behavioral spec: the external runner layer the reference declares in config
+(/root/reference/configs/001_..._rdn_...py:156-187 and tools/train.py:181-189):
+1M-iteration loop, step LR hook, checkpoint hook (3000), eval hook (3000),
+text/TensorBoard logging (100), auto-resume from the latest checkpoint.
+
+TPU design: ONE jit'd SPMD train step over a 1-D 'data' mesh (params
+replicated, batch sharded); the host loop just feeds batches and runs
+hooks. Gradient reduction is XLA's — there is no DDP wrapper to configure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ciaosr_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from ciaosr_tpu.train.checkpoint import CheckpointManager
+from ciaosr_tpu.train.optim import build_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_train_step(restorer, tx) -> Callable:
+    """Build the jit'd L1 train step (ciaosr.py:60-109 semantics)."""
+
+    @jax.jit
+    def train_step(state: TrainState, batch: dict):
+        def loss_fn(params):
+            loss, _ = restorer.train_forward(
+                params, batch["lq"], batch["gt"], batch["coord"],
+                batch["cell"])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        return new_state, {"loss_pix": loss}
+
+    return train_step
+
+
+class MetricLogger:
+    """JSONL + optional TensorBoard logging (TextLoggerHook equivalent)."""
+
+    def __init__(self, work_dir: str, interval: int = 100):
+        self.interval = interval
+        os.makedirs(work_dir, exist_ok=True)
+        self.path = os.path.join(work_dir, "train_log.jsonl")
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(work_dir, "tb"))
+        except ImportError:  # pragma: no cover
+            pass
+        self._acc: dict[str, list] = {}
+
+    def log(self, step: int, metrics: dict, extra: dict | None = None):
+        for k, v in metrics.items():
+            self._acc.setdefault(k, []).append(float(v))
+        if step % self.interval != 0:
+            return
+        means = {k: float(np.mean(v)) for k, v in self._acc.items()}
+        self._acc.clear()
+        rec = {"step": step, **means, **(extra or {}),
+               "time": time.time()}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._tb:
+            for k, v in means.items():
+                self._tb.add_scalar(k, v, step)
+        msg = " ".join(f"{k}={v:.4g}" for k, v in means.items())
+        print(f"[iter {step}] {msg}", flush=True)
+
+
+@dataclass
+class Trainer:
+    """Classical (L1) CiaoSR training."""
+
+    restorer: Any
+    cfg: Any
+    work_dir: str
+    resume_from: str | None = None
+    seed: int = 0
+
+    def __post_init__(self):
+        self.mesh = make_mesh()
+        tx, self.schedule = build_optimizer(
+            dict(self.cfg.optimizers), dict(self.cfg.get("lr_config") or {}))
+        self.tx = tx
+        self.train_step = make_train_step(self.restorer, tx)
+        self.ckpt = CheckpointManager(
+            self.work_dir,
+            interval=self.cfg.get("checkpoint_config", {}).get(
+                "interval", 3000))
+        self.logger = MetricLogger(
+            self.work_dir,
+            interval=self.cfg.get("log_config", {}).get("interval", 100))
+
+    def init_state(self, sample_batch: dict) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        lq = sample_batch["lq"]
+        params = self.restorer.init_params(
+            rng, lq_shape=(1, *lq.shape[1:]),
+            n_queries=sample_batch["coord"].shape[1])
+        opt_state = self.tx.init(params)
+        state = TrainState(step=jnp.asarray(0), params=params,
+                           opt_state=opt_state)
+        return replicate(self.mesh, state)
+
+    def run(self, loader, total_iters: int, eval_fn=None,
+            eval_interval: int | None = None) -> TrainState:
+        it = iter(loader)
+        first = next(it)
+        state = self.init_state(first)
+
+        restored, step0 = self.ckpt.restore(state)
+        if restored is not None:
+            state = replicate(self.mesh, restored)
+            print(f"[resume] from iteration {step0}", flush=True)
+
+        step = int(state.step)
+        t_last = time.time()
+        batch = first
+        while step < total_iters:
+            device_batch = shard_batch(self.mesh, batch)
+            state, metrics = self.train_step(state, device_batch)
+            step += 1
+            ips = 1.0 / max(time.time() - t_last, 1e-9)
+            t_last = time.time()
+            self.logger.log(step, metrics,
+                            {"lr": float(self.schedule(step)) if callable(
+                                self.schedule) else self.schedule,
+                             "iters_per_s": ips})
+            self.ckpt.maybe_save(step, jax.device_get(state))
+            if eval_fn and eval_interval and step % eval_interval == 0:
+                results = eval_fn(state.params)
+                print(f"[eval @ {step}] {results}", flush=True)
+                self.logger.log(step, {f"val_{k}": v
+                                       for k, v in results.items()
+                                       if isinstance(v, (int, float))})
+            if step >= total_iters:
+                break
+            batch = next(it)
+        self.ckpt.save(step, jax.device_get(state))
+        self.ckpt.wait()
+        return state

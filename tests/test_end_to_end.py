@@ -1,0 +1,174 @@
+"""End-to-end slice: dataset fixture → pipeline → eval protocol → training.
+
+The minimum end-to-end slice of SURVEY.md §7.4-7.5 on tiny synthetic data:
+paired-folder eval (LRbicx/GTmod12 layout), on-the-fly degradation eval,
+and a short L1 training run whose loss must drop.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ciaosr_tpu.config.config import Config
+from ciaosr_tpu.core.resize import imresize_np
+
+
+TINY_GEN = dict(
+    type="LocalImplicitSREDSR",
+    encoder=dict(type="EDSR", in_channels=3, mid_channels=16, num_blocks=2),
+    imnet_q=dict(type="MLPRefiner", out_dim=3, hidden_list=[32, 32]),
+    imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[32, 32]),
+    imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[32, 32]),
+    eval_bsize=2000)
+
+
+@pytest.fixture(scope="module")
+def sr_fixture(tmp_path_factory):
+    """Classical-benchmark folder layout with MATLAB-bicubic LR files."""
+    import cv2
+    root = tmp_path_factory.mktemp("set_tiny")
+    gt_dir = root / "GTmod12"
+    lq_dir = root / "LRbicx4"
+    gt_dir.mkdir()
+    lq_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        yy, xx = np.mgrid[0:48, 0:60].astype(np.float32)
+        img = np.stack([np.sin(yy / (2 + i)) * .5 + .5,
+                        np.cos(xx / (3 + i)) * .5 + .5,
+                        np.sin((yy + xx) / (4 + i)) * .5 + .5], -1)
+        gt = (img * 255).round().astype(np.uint8)
+        cv2.imwrite(str(gt_dir / f"img{i}.png"), gt[..., ::-1])
+        lr = imresize_np(gt.astype(np.float32) / 255.0, scale=0.25)
+        lr8 = (np.clip(lr, 0, 1) * 255).round().astype(np.uint8)
+        cv2.imwrite(str(lq_dir / f"img{i}.png"), lr8[..., ::-1])
+    return root
+
+
+def test_paired_folder_eval(sr_fixture):
+    from ciaosr_tpu.data.datasets import build_dataset
+    from ciaosr_tpu.eval.evaluator import evaluate_dataset
+    from ciaosr_tpu.models.restorers import CiaoSRRestorer
+
+    pipeline = [
+        dict(type="LoadImageFromFile", key="gt", channel_order="rgb"),
+        dict(type="LoadImageFromFile", key="lq", channel_order="rgb"),
+        dict(type="RescaleToZeroOne", keys=["lq", "gt"]),
+        dict(type="ImageToTensor", keys=["lq", "gt"]),
+        dict(type="GenerateCoordinateAndCell", scale=4),
+        dict(type="Collect", keys=["lq", "gt", "coord", "cell"],
+             meta_keys=["gt_path"]),
+    ]
+    ds = build_dataset(dict(type="SRFolderDataset",
+                            lq_folder=str(sr_fixture / "LRbicx4"),
+                            gt_folder=str(sr_fixture / "GTmod12"),
+                            pipeline=pipeline, scale=4))
+    assert len(ds) == 3
+    restorer = CiaoSRRestorer(
+        generator=TINY_GEN,
+        test_cfg=dict(metrics=["PSNR", "SSIM"], crop_border=4,
+                      scale=4, convert_to="y"))
+    params = restorer.init_params(jax.random.PRNGKey(0))
+    res = evaluate_dataset(restorer, params, ds)
+    assert res["n_images"] == 3
+    assert np.isfinite(res["PSNR"]) and 0 <= res["SSIM"] <= 1
+    # random weights + global bilinear residual ⇒ roughly bilinear quality
+    assert res["PSNR"] > 15
+
+
+def test_onthefly_degradation_eval(sr_fixture):
+    """scale>4 protocol: RandomDownSampling val path, no tiling."""
+    from ciaosr_tpu.data.datasets import build_dataset
+    from ciaosr_tpu.eval.evaluator import evaluate_dataset
+    from ciaosr_tpu.models.restorers import CiaoSRRestorer
+
+    pipeline = [
+        dict(type="LoadImageFromFile", key="gt", channel_order="rgb"),
+        dict(type="RandomDownSampling", scale_min=6, scale_max=6),
+        dict(type="RescaleToZeroOne", keys=["lq", "gt"]),
+        dict(type="ImageToTensor", keys=["lq", "gt"]),
+        dict(type="GenerateCoordinateAndCell", scale=6),
+        dict(type="Collect", keys=["lq", "gt", "coord", "cell"],
+             meta_keys=["gt_path"]),
+    ]
+    ds = build_dataset(dict(type="SRFolderGTDataset",
+                            gt_folder=str(sr_fixture / "GTmod12"),
+                            pipeline=pipeline, scale=6))
+    restorer = CiaoSRRestorer(
+        generator=TINY_GEN,
+        test_cfg=dict(metrics=["PSNR"], crop_border=6, scale=6,
+                      convert_to="y"))
+    params = restorer.init_params(jax.random.PRNGKey(0))
+    res = evaluate_dataset(restorer, params, ds)
+    assert res["n_images"] == 3 and np.isfinite(res["PSNR"])
+
+
+def test_training_loss_decreases(sr_fixture):
+    """30 iterations of the L1 recipe on tiny data: loss must drop."""
+    from ciaosr_tpu.data.datasets import build_dataset
+    from ciaosr_tpu.data.loader import build_dataloader
+    from ciaosr_tpu.models.restorers import CiaoSRRestorer
+    from ciaosr_tpu.train.optim import build_optimizer
+    from ciaosr_tpu.train.trainer import TrainState, make_train_step
+    from ciaosr_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+    import jax.numpy as jnp
+
+    pipeline = [
+        dict(type="LoadImageFromFile", key="gt", channel_order="rgb"),
+        dict(type="RandomDownSampling", scale_min=1, scale_max=4,
+             patch_size=12),
+        dict(type="RescaleToZeroOne", keys=["lq", "gt"]),
+        dict(type="Flip", keys=["lq", "gt"], flip_ratio=0.5,
+             direction="horizontal"),
+        dict(type="ImageToTensor", keys=["lq", "gt"]),
+        dict(type="GenerateCoordinateAndCell", sample_quantity=128),
+        dict(type="Collect", keys=["lq", "gt", "coord", "cell"],
+             meta_keys=["gt_path"]),
+    ]
+    ds = build_dataset(dict(
+        type="RepeatDataset", times=50,
+        dataset=dict(type="SRFolderGTDataset",
+                     gt_folder=str(sr_fixture / "GTmod12"),
+                     pipeline=pipeline, scale=4, seed=0)))
+    loader = build_dataloader(ds, samples_per_gpu=8, workers_per_gpu=2,
+                              seed=0)
+    restorer = CiaoSRRestorer(generator=TINY_GEN)
+    tx, _ = build_optimizer(dict(type="Adam", lr=1e-3), None)
+    step_fn = make_train_step(restorer, tx)
+    mesh = make_mesh()
+
+    it = iter(loader)
+    batch = next(it)
+    params = restorer.init_params(jax.random.PRNGKey(0),
+                                  lq_shape=(1, 12, 12, 3), n_queries=128)
+    state = replicate(mesh, TrainState(step=jnp.asarray(0), params=params,
+                                       opt_state=tx.init(params)))
+    losses = []
+    for i in range(60):
+        state, m = step_fn(state, shard_batch(mesh, batch))
+        losses.append(float(m["loss_pix"]))
+        batch = next(it)
+    assert int(state.step) == 60
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8, losses
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_config_loads_and_builds():
+    """The shipped 001 configs parse and their models build."""
+    import ciaosr_tpu.models.restorers  # noqa: F401
+    from ciaosr_tpu.models.builder import build_model
+
+    for name in ("001_localimplicitsr_rdn_div2k_g1_c64b16_1000k_unfold_"
+                 "lec_mulwkv_res_nonlocal.py",
+                 "001_localimplicitsr_edsr_div2k_g1_c64b16_1000k_unfold_"
+                 "lec_mulwkv_res_nonlocal.py"):
+        cfg = Config.fromfile(os.path.join(
+            os.path.dirname(__file__), "..", "configs", name))
+        assert cfg.total_iters == 1000000
+        model = build_model(cfg.model, test_cfg=cfg.test_cfg)
+        assert model.generator.feat_dim == 64
+        assert model.eval_bsize == 30000
+        assert cfg.test_cfg["tile"] == 192

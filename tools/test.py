@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Evaluation CLI — mirrors /root/reference/tools/test.py:28-162 surface.
+
+    python tools/test.py CONFIG CHECKPOINT [--save-path DIR] [--out F.json]
+
+CHECKPOINT is an orbax params directory (or 'None' to use the config's
+``test_checkpoint_path``, tools/test.py:77-78 semantics), or a .pth torch
+checkpoint, which is converted on the fly (incl. the SwinIR-family
+``'^' → 'generator.'`` key rewrite, tools/test.py:115-118).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="ciaosr_tpu test")
+    p.add_argument("config")
+    p.add_argument("checkpoint", help="params dir, .pth file, 'None' "
+                   "(config test_checkpoint_path), or 'random' (smoke)")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--out", help="write metrics JSON here")
+    p.add_argument("--save-path", help="save predicted PNGs here")
+    p.add_argument("--launcher", default="none",
+                   choices=["none", "tpu"],
+                   help="'tpu' runs jax.distributed.initialize()")
+    p.add_argument("--split", default="test", choices=["test", "val"])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.launcher == "tpu":  # pragma: no cover - multihost only
+        import jax
+        jax.distributed.initialize()
+
+    import jax
+    import numpy as np
+    from ciaosr_tpu.config.config import Config
+    from ciaosr_tpu.data.datasets import build_dataset
+    from ciaosr_tpu.eval.evaluator import evaluate_dataset
+    from ciaosr_tpu.models.builder import build_model
+    import ciaosr_tpu.models.restorers  # noqa: F401 (registry)
+
+    cfg = Config.fromfile(args.config)
+    if args.seed is not None:
+        np.random.seed(args.seed)
+
+    dataset = build_dataset(cfg.data[args.split])
+    model = build_model(cfg.model, test_cfg=cfg.test_cfg)
+
+    ckpt = args.checkpoint
+    if ckpt == "None":
+        ckpt = cfg.get("test_checkpoint_path")
+    if ckpt == "random":
+        params = model.init_params(jax.random.PRNGKey(args.seed or 0))
+        print("[warn] evaluating RANDOM weights (smoke mode)", flush=True)
+    elif ckpt.endswith((".pth", ".pt")):
+        from ciaosr_tpu.convert.load import load_torch_checkpoint
+        params = load_torch_checkpoint(ckpt, cfg.model)
+    else:
+        from ciaosr_tpu.train.checkpoint import load_params
+        like = jax.eval_shape(
+            lambda: model.init_params(jax.random.PRNGKey(0)))
+        params = load_params(ckpt, like)
+
+    results = evaluate_dataset(model, params, dataset,
+                               save_path=args.save_path)
+    if jax.process_index() == 0:
+        print("Eval results:")
+        for k, v in results.items():
+            print(f"  {k}: {v:.4f}" if isinstance(v, float)
+                  else f"  {k}: {v}")
+        if args.out:
+            os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                        exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

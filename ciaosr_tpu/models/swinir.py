@@ -1,0 +1,253 @@
+"""SwinIR encoder trunk (window attention, flax, NHWC, static shapes).
+
+Behavioral spec: the vendored SwinIR at
+/root/reference/mmedited/models/backbones/sr_backbones/swinir_net.py
+(WindowAttention :66-162, SwinTransformerBlock :165-298, BasicLayer
+:350-417, RSTB :420-493, SwinIR :619-870) as consumed by the CiaoSR
+SwinIR variant (ciaosr_net.py:460-525): conv_first → patch_embed(+LN) →
+RSTB stack → LN → unembed → conv_after_body → +skip; inputs reflect-padded
+to window multiples and cropped back (gen_feature :499-525).
+
+TPU-first choices:
+  * Everything is NHWC; window partition is a reshape/transpose (free).
+  * The shifted-window attention mask is a trace-time numpy constant (JAX
+    shapes are static) — no cached-vs-recomputed mask machinery
+    (swinir_net.py:260-263) and no `.cuda()` buffers (defect §8.3).
+  * Attention uses one fused qkv projection + einsum; relative position
+    bias is gathered once per (window, heads) at trace time.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ciaosr_tpu.config.registry import BACKBONES
+from ciaosr_tpu.utils.init import torch_bias_init
+
+trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _rel_pos_index(ws: int) -> np.ndarray:
+    """Relative position index for a ws×ws window → (ws², ws²) int."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                  indexing="ij"))       # (2, ws, ws)
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]            # (2, N, N)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)                                   # (N, N)
+
+
+def _attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray | None:
+    """Shifted-window attention mask, computed at trace time
+    (swinir_net.py:222-240 semantics). Returns (nW, N, N) float or None."""
+    if shift == 0:
+        return None
+    img = np.zeros((h, w))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wsl] = cnt
+            cnt += 1
+    win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, ws * ws)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B·nW, ws², C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def window_reverse(x: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    b = x.shape[0] // ((h // ws) * (w // ws))
+    x = x.reshape(b, h // ws, w // ws, ws, ws, -1)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: np.ndarray | None):
+        bw, n, c = x.shape
+        heads = self.num_heads
+        head_dim = c // heads
+        scale = head_dim ** -0.5
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=trunc_init,
+                       name="qkv")(x)
+        qkv = qkv.reshape(bw, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+
+        table = self.param(
+            "relative_position_bias_table", trunc_init,
+            ((2 * self.window_size - 1) ** 2, heads))
+        idx = _rel_pos_index(self.window_size).reshape(-1)
+        bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bw // nw, nw, heads, n, n) \
+                + jnp.asarray(mask)[None, :, None]
+            attn = attn.reshape(bw, heads, n, n)
+        attn = nn.softmax(attn, axis=-1)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return nn.Dense(c, kernel_init=trunc_init,
+                        bias_init=nn.initializers.zeros, name="proj")(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, x_size: tuple[int, int]):
+        h, w = x_size
+        b, n, c = x.shape
+        ws = min(self.window_size, min(h, w))
+        shift = self.shift_size if ws == self.window_size else 0
+        if min(h, w) <= self.window_size:
+            shift = 0
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = x.reshape(b, h, w, c)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        windows = window_partition(x, ws)
+        mask = _attn_mask(h, w, ws, shift)
+        attn_out = WindowAttention(self.dim, ws, self.num_heads,
+                                   self.qkv_bias, name="attn")(windows, mask)
+        x = window_reverse(attn_out, ws, h, w)
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = shortcut + x.reshape(b, n, c)
+
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        hidden = int(c * self.mlp_ratio)
+        y = nn.Dense(hidden, kernel_init=trunc_init,
+                     bias_init=nn.initializers.zeros, name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(c, kernel_init=trunc_init,
+                     bias_init=nn.initializers.zeros, name="mlp_fc2")(y)
+        return x + y
+
+
+class RSTB(nn.Module):
+    """Residual Swin Transformer Block: BasicLayer + conv + residual."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, x_size: tuple[int, int]):
+        h, w = x_size
+        b, n, c = x.shape
+        res = x
+        for i in range(self.depth):
+            x = SwinBlock(self.dim, self.num_heads, self.window_size,
+                          shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                          mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                          name=f"blocks_{i}")(x, x_size)
+        img = x.reshape(b, h, w, c)
+        img = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
+                      kernel_init=trunc_init,
+                      bias_init=torch_bias_init(c * 9), name="conv")(img)
+        return img.reshape(b, n, c) + res
+
+
+@BACKBONES.register(name="SwinIR")
+class SwinIREncoder(nn.Module):
+    """SwinIR trunk for CiaoSR (upsampler head never built — the reference
+    builds then discards it, ciaosr_net.py:460-473).
+
+    Accepts the reference SwinIR config surface; head-only keys
+    (upsampler, upscale, compress_ratio, ...) are accepted and unused.
+    """
+
+    img_size: int = 48
+    in_chans: int = 3
+    embed_dim: int = 180
+    depths: Sequence[int] = (6, 6, 6, 6, 6, 6)
+    num_heads: Sequence[int] = (6, 6, 6, 6, 6, 6)
+    window_size: int = 8
+    mlp_ratio: float = 2.0
+    qkv_bias: bool = True
+    patch_norm: bool = True
+    img_range: float = 1.0
+    # accepted-for-config-parity, unused by the trunk:
+    upscale: int = 4
+    upsampler: str = ""
+    resi_connection: str = "1conv"
+    compress_ratio: int = 3
+    squeeze_factor: int = 30
+    conv_scale: float = 0.01
+    overlap_ratio: float = 0.5
+    ape: bool = False
+
+    # the decoder reads feat_dim from here (ciaosr_net.py:60)
+    @property
+    def mid_channels(self) -> int:
+        return self.embed_dim
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        b, h0, w0, _ = img.shape
+        ws = self.window_size
+        pad_h = (ws - h0 % ws) % ws
+        pad_w = (ws - w0 % ws) % ws
+        if pad_h or pad_w:
+            img = jnp.pad(img, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                          mode="reflect")
+        h, w = h0 + pad_h, w0 + pad_w
+
+        x = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
+                    kernel_init=trunc_init,
+                    bias_init=torch_bias_init(self.in_chans * 9),
+                    name="conv_first")(img)
+        skip = x
+
+        feat = x.reshape(b, h * w, self.embed_dim)
+        if self.patch_norm:
+            feat = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(feat)
+        for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
+            feat = RSTB(self.embed_dim, depth, heads, ws,
+                        mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
+                        name=f"layers_{i}")(feat, (h, w))
+        feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
+        feat = feat.reshape(b, h, w, self.embed_dim)
+
+        feat = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
+                       kernel_init=trunc_init,
+                       bias_init=torch_bias_init(self.embed_dim * 9),
+                       name="conv_after_body")(feat)
+        out = feat + skip
+        return out[:, :h0, :w0, :]

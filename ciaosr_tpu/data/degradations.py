@@ -1,0 +1,396 @@
+"""Real-ESRGAN-style degradation pipeline ops (host-side numpy/cv2).
+
+Behavioral spec: /root/reference/mmedited/datasets/pipelines/
+random_degradations.py — the live subset used by the 002 configs
+(configs/002_real_gan_...py:100-246): RandomBlur (iso/aniso/generalized/
+plateau/sinc kernel zoo, per-call parameter sampling, prob gate),
+RandomResize (up/down/keep with random interp), RandomNoise
+(gaussian/poisson with gray-noise prob), RandomJPEGCompression,
+RandomScaleResize1 (resize lq relative to GT size), DegradationsWithShuffle
+(grouped shuffle), UnsharpMasking. Kernel math follows the public
+Real-ESRGAN formulations the reference delegates to (mmedit blur_kernels).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ciaosr_tpu.config.registry import PIPELINES
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+# ----------------------------------------------------------- kernel zoo --
+
+def _mesh(ks: int):
+    ax = np.arange(ks) - (ks - 1) / 2.0
+    xx, yy = np.meshgrid(ax, ax)
+    return np.stack([xx, yy], -1)  # (ks, ks, 2)
+
+
+def _sigma_matrix(sigma_x, sigma_y, theta):
+    d = np.array([[sigma_x ** 2, 0], [0, sigma_y ** 2]])
+    u = np.array([[np.cos(theta), -np.sin(theta)],
+                  [np.sin(theta), np.cos(theta)]])
+    return u @ d @ u.T
+
+
+def gaussian_kernel(ks, sigma_x, sigma_y=None, theta=0.0, isotropic=True):
+    if isotropic:
+        sigma_y, theta = sigma_x, 0.0
+    inv = np.linalg.inv(_sigma_matrix(sigma_x, sigma_y, theta))
+    xy = _mesh(ks)
+    k = np.exp(-0.5 * np.einsum("hwi,ij,hwj->hw", xy, inv, xy))
+    return (k / k.sum()).astype(np.float32)
+
+
+def generalized_gaussian_kernel(ks, sigma_x, sigma_y=None, theta=0.0,
+                                beta=1.0, isotropic=True):
+    if isotropic:
+        sigma_y, theta = sigma_x, 0.0
+    inv = np.linalg.inv(_sigma_matrix(sigma_x, sigma_y, theta))
+    xy = _mesh(ks)
+    q = np.einsum("hwi,ij,hwj->hw", xy, inv, xy)
+    k = np.exp(-0.5 * np.power(q, beta))
+    return (k / k.sum()).astype(np.float32)
+
+
+def plateau_kernel(ks, sigma_x, sigma_y=None, theta=0.0, beta=1.0,
+                   isotropic=True):
+    if isotropic:
+        sigma_y, theta = sigma_x, 0.0
+    inv = np.linalg.inv(_sigma_matrix(sigma_x, sigma_y, theta))
+    xy = _mesh(ks)
+    q = np.einsum("hwi,ij,hwj->hw", xy, inv, xy)
+    k = 1.0 / (np.power(q, beta) + 1.0)
+    return (k / k.sum()).astype(np.float32)
+
+
+def sinc_kernel(ks, omega):
+    """Circular low-pass (jinc) filter with cutoff omega."""
+    from scipy.special import j1
+    ax = np.arange(ks) - (ks - 1) / 2.0
+    xx, yy = np.meshgrid(ax, ax)
+    r = np.sqrt(xx ** 2 + yy ** 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = omega * j1(omega * r) / (2 * np.pi * r)
+    k[(ks - 1) // 2, (ks - 1) // 2] = omega ** 2 / (4 * np.pi)
+    return (k / k.sum()).astype(np.float32)
+
+
+def random_mixed_kernel(rng, kernel_list, kernel_prob, ks, sigma_x, sigma_y,
+                        rotate, beta_gau, beta_pla, omega):
+    ktype = rng.choice(kernel_list, p=kernel_prob)
+    if ktype == "iso":
+        return gaussian_kernel(ks, sigma_x, isotropic=True)
+    if ktype == "aniso":
+        return gaussian_kernel(ks, sigma_x, sigma_y, rotate, isotropic=False)
+    if ktype == "generalized_iso":
+        return generalized_gaussian_kernel(ks, sigma_x, beta=beta_gau,
+                                           isotropic=True)
+    if ktype == "generalized_aniso":
+        return generalized_gaussian_kernel(ks, sigma_x, sigma_y, rotate,
+                                           beta=beta_gau, isotropic=False)
+    if ktype == "plateau_iso":
+        return plateau_kernel(ks, sigma_x, beta=beta_pla, isotropic=True)
+    if ktype == "plateau_aniso":
+        return plateau_kernel(ks, sigma_x, sigma_y, rotate, beta=beta_pla,
+                              isotropic=False)
+    if ktype == "sinc":
+        return sinc_kernel(ks, omega)
+    raise ValueError(f"unknown kernel type {ktype}")
+
+
+def _rng(results):
+    return results.get("_rng", np.random.default_rng())
+
+
+def _as_list(x):
+    return ([x], True) if isinstance(x, np.ndarray) else (list(x), False)
+
+
+# ------------------------------------------------------------ pipelines --
+
+@PIPELINES.register(name="RandomBlur")
+class RandomBlur:
+    """Kernel-zoo blur with per-frame parameter walk and prob gate
+    (random_degradations.py:25-139)."""
+
+    def __init__(self, params, keys):
+        self.params = params
+        self.keys = keys
+
+    def _kernels(self, rng, n):
+        p = self.params
+        ks = int(rng.choice(p["kernel_size"]))
+        sx_rng = p.get("sigma_x", [0, 0])
+        sy_rng = p.get("sigma_y", [0, 0])
+        rot_rng = p.get("rotate_angle", [-np.pi, np.pi])
+        bg_rng = p.get("beta_gaussian", [0.5, 4])
+        bp_rng = p.get("beta_plateau", [1, 2])
+        om_rng = p.get("omega")
+        if om_rng is None:  # Real-ESRGAN default cutoff rule
+            om_rng = [np.pi / 3, np.pi] if ks < 13 else [np.pi / 5, np.pi]
+        sx = rng.uniform(*sx_rng)
+        sy = rng.uniform(*sy_rng)
+        rot = rng.uniform(*rot_rng)
+        bg = rng.uniform(*bg_rng)
+        bp = rng.uniform(*bp_rng)
+        om = rng.uniform(*om_rng)
+        kernels = []
+        for _ in range(n):
+            kernels.append(random_mixed_kernel(
+                rng, p["kernel_list"], p["kernel_prob"], ks, sx, sy, rot,
+                bg, bp, om))
+            # parameter walk (video path) only when *_step provided
+            if any(p.get(k, 0) for k in ("sigma_x_step", "sigma_y_step",
+                                         "rotate_angle_step",
+                                         "beta_gaussian_step",
+                                         "beta_plateau_step", "omega_step")):
+                sx = np.clip(sx + rng.uniform(-p.get("sigma_x_step", 0),
+                                              p.get("sigma_x_step", 0)),
+                             *sx_rng)
+                sy = np.clip(sy + rng.uniform(-p.get("sigma_y_step", 0),
+                                              p.get("sigma_y_step", 0)),
+                             *sy_rng)
+                rot = np.clip(rot + rng.uniform(
+                    -p.get("rotate_angle_step", 0),
+                    p.get("rotate_angle_step", 0)), *rot_rng)
+                bg = np.clip(bg + rng.uniform(-p.get("beta_gaussian_step", 0),
+                                              p.get("beta_gaussian_step", 0)),
+                             *bg_rng)
+                bp = np.clip(bp + rng.uniform(-p.get("beta_plateau_step", 0),
+                                              p.get("beta_plateau_step", 0)),
+                             *bp_rng)
+                om = np.clip(om + rng.uniform(-p.get("omega_step", 0),
+                                              p.get("omega_step", 0)),
+                             *om_rng)
+        return kernels
+
+    def __call__(self, results):
+        rng = _rng(results)
+        if rng.uniform() > self.params.get("prob", 1):
+            return results
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            kernels = self._kernels(rng, len(imgs))
+            out = [cv2.filter2D(img, -1, k)
+                   for img, k in zip(imgs, kernels)]
+            results[key] = out[0] if single else out
+        return results
+
+
+_CV2_INTERP = {"bilinear": 1, "bicubic": 2, "area": 3, "lanczos": 4}
+
+
+@PIPELINES.register(name="RandomResize")
+class RandomResize:
+    """Up/down/keep resize by a random factor with random interpolation
+    (mmedit RandomResize surface; configs/002_...py:137-145)."""
+
+    def __init__(self, params, keys):
+        self.params = params
+        self.keys = keys
+
+    def __call__(self, results):
+        rng = _rng(results)
+        if rng.uniform() > self.params.get("prob", 1):
+            return results
+        p = self.params
+        mode = rng.choice(["up", "down", "keep"], p=p["resize_mode_prob"])
+        lo, hi = p["resize_scale"]
+        if mode == "up":
+            scale = rng.uniform(1, hi)
+        elif mode == "down":
+            scale = rng.uniform(lo, 1)
+        else:
+            scale = 1.0
+        interp = _CV2_INTERP[rng.choice(p["resize_opt"],
+                                        p=p.get("resize_prob"))]
+        ts = p.get("target_size")
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            out = []
+            for img in imgs:
+                h, w = img.shape[:2]
+                size = ts or (int(h * scale), int(w * scale))
+                out.append(cv2.resize(img, (size[1], size[0]),
+                                      interpolation=interp))
+            results[key] = out[0] if single else out
+        return results
+
+
+@PIPELINES.register(name="RandomNoise")
+class RandomNoise:
+    """Gaussian / Poisson noise with gray-noise probability (mmedit
+    RandomNoise surface; configs/002_...py:146-156)."""
+
+    def __init__(self, params, keys):
+        self.params = params
+        self.keys = keys
+
+    def _gaussian(self, rng, img):
+        p = self.params
+        sigma = rng.uniform(*p["gaussian_sigma"]) / 255.0
+        if rng.uniform() < p.get("gaussian_gray_noise_prob", 0):
+            noise = rng.normal(0, sigma, img.shape[:2] + (1,))
+        else:
+            noise = rng.normal(0, sigma, img.shape)
+        return (img + noise).astype(np.float32)
+
+    def _poisson(self, rng, img):
+        p = self.params
+        scale = rng.uniform(*p["poisson_scale"])
+        gray = rng.uniform() < p.get("poisson_gray_noise_prob", 0)
+        base = cv2.cvtColor(img.astype(np.float32), cv2.COLOR_RGB2GRAY)[
+            ..., None] if gray else img
+        vals = 10 ** np.ceil(np.log10(len(np.unique(
+            (np.clip(base, 0, 1) * 255).round().astype(np.uint8)))))
+        noisy = rng.poisson(np.clip(base, 0, 1) * vals) / vals
+        noise = (noisy - np.clip(base, 0, 1)) * scale
+        return (img + noise).astype(np.float32)
+
+    def __call__(self, results):
+        rng = _rng(results)
+        if rng.uniform() > self.params.get("prob", 1):
+            return results
+        p = self.params
+        ntype = rng.choice(p["noise_type"], p=p.get("noise_prob"))
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            fn = self._gaussian if ntype == "gaussian" else self._poisson
+            out = [fn(rng, img) for img in imgs]
+            results[key] = out[0] if single else out
+        return results
+
+
+@PIPELINES.register(name="RandomJPEGCompression")
+class RandomJPEGCompression:
+    """cv2 encode/decode at uniform quality
+    (random_degradations.py:141-193)."""
+
+    def __init__(self, params, keys):
+        self.params = params
+        self.keys = keys
+
+    def __call__(self, results):
+        rng = _rng(results)
+        if rng.uniform() > self.params.get("prob", 1):
+            return results
+        quality = int(rng.integers(*self.params["quality"]))
+        enc = [int(cv2.IMWRITE_JPEG_QUALITY), quality]
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            out = []
+            for img in imgs:
+                u8 = (np.clip(img, 0, 1) * 255.0).round().astype(np.uint8)
+                _, buf = cv2.imencode(".jpg", u8[..., ::-1], enc)
+                dec = cv2.imdecode(buf, cv2.IMREAD_COLOR)[..., ::-1]
+                out.append(dec.astype(np.float32) / 255.0)
+            results[key] = out[0] if single else out
+        return results
+
+
+@PIPELINES.register(name="RandomScaleResize1")
+class RandomScaleResize:
+    """Resize lq to int(gt_size / U(scale_min, scale_max)) with random
+    interpolation (random_degradations.py:1156-1225)."""
+
+    def __init__(self, params, keys):
+        self.params = params
+        self.keys = keys
+
+    def __call__(self, results):
+        rng = _rng(results)
+        if rng.uniform() > self.params.get("prob", 1):
+            return results
+        p = self.params
+        h, w = results["gt"].shape[:2]
+        interp = _CV2_INTERP[rng.choice(p["resize_opt"],
+                                        p=p.get("resize_prob"))]
+        ts = p.get("target_size")
+        if ts is None:
+            factor = 1.0 / rng.uniform(p["scale_min"], p["scale_max"])
+            h_out, w_out = h * factor, w * factor
+            if p.get("is_size_even", False):
+                h_out, w_out = 2 * (h_out // 2), 2 * (w_out // 2)
+            ts = (int(h_out), int(w_out))
+        imgs, single = _as_list(results["lq"])
+        out = [cv2.resize(img, ts[::-1], interpolation=interp)
+               for img in imgs]
+        results["lq"] = out[0] if single else out
+        return results
+
+
+@PIPELINES.register(name="DegradationsWithShuffle")
+@PIPELINES.register(name="DegradationsWithShuffle1")
+class DegradationsWithShuffle:
+    """Apply a list of degradations in shuffled order; list entries that
+    are themselves lists keep their internal order
+    (random_degradations.py:1238-1303)."""
+
+    def __init__(self, degradations, keys, shuffle_idx=None):
+        self.keys = keys
+        self.shuffle_idx = shuffle_idx
+        self.degradations = [self._build(d) for d in degradations]
+
+    def _build(self, cfg):
+        from ciaosr_tpu.config.registry import build_from_cfg
+        if isinstance(cfg, (list, tuple)):
+            return [self._build(c) for c in cfg]
+        cfg = dict(cfg)
+        cfg.setdefault("keys", self.keys)
+        return build_from_cfg(cfg, PIPELINES)
+
+    def __call__(self, results):
+        rng = _rng(results)
+        if self.shuffle_idx is None:
+            order = rng.permutation(len(self.degradations))
+        else:
+            order = list(range(len(self.degradations)))
+            sub = [order[i] for i in self.shuffle_idx]
+            rng.shuffle(sub)
+            for i, v in zip(self.shuffle_idx, sub):
+                order[i] = v
+        for i in order:
+            deg = self.degradations[int(i)]
+            if isinstance(deg, list):
+                for d in deg:
+                    results = d(results)
+            else:
+                results = deg(results)
+        return results
+
+
+@PIPELINES.register(name="UnsharpMasking")
+class UnsharpMasking:
+    """USM sharpening producing '{key}_unsharp' (mmedit UnsharpMasking:
+    gaussian residual, threshold mask, weighted add)."""
+
+    def __init__(self, keys, kernel_size=51, sigma=0, weight=0.5,
+                 threshold=10):
+        self.keys = keys
+        self.kernel_size = kernel_size
+        self.sigma = sigma
+        self.weight = weight
+        self.threshold = threshold
+        k = cv2.getGaussianKernel(kernel_size, sigma)
+        self.kernel = (k @ k.T).astype(np.float64)
+
+    def _usm(self, img):
+        blur = cv2.filter2D(img, -1, self.kernel)
+        residual = img - blur
+        mask = (np.abs(residual) * 255 > self.threshold).astype(np.float32)
+        soft_mask = cv2.filter2D(mask, -1, self.kernel)
+        sharp = np.clip(img + self.weight * residual, 0, 1)
+        return (soft_mask * sharp + (1 - soft_mask) * img).astype(np.float32)
+
+    def __call__(self, results):
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            out = [self._usm(img) for img in imgs]
+            results[f"{key}_unsharp"] = out[0] if single else out
+        return results

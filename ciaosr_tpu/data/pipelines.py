@@ -304,31 +304,33 @@ class PairedRandomCrop:
 
 @PIPELINES.register(name="PairedRandomCropwScale")
 class PairedRandomCropwScale:
-    """Paired crop inferring (and validating) the scale from the gt/lq size
-    ratio (crop.py:174-245): lq patch fixed, gt patch = lq·scale."""
+    """Paired crop with the scale inferred (as a FLOAT) from the gt/lq size
+    ratio (crop.py:174-245): lq patch fixed, gt patch = int(lq·scale),
+    gt offsets = int(lq offsets · scale). Only requires equal h/w ratios."""
 
-    def __init__(self, patch_size, keys=("lq", "gt")):
-        self.patch_size = patch_size  # lq patch
-        self.keys = keys
+    def __init__(self, lq_patch_size):
+        self.lq_patch_size = lq_patch_size
 
     def __call__(self, results):
         lq = results["lq"]
         gt = results["gt"]
-        if gt.shape[0] % lq.shape[0] or gt.shape[1] % lq.shape[1]:
+        h_lq, w_lq = lq.shape[:2]
+        h_gt, w_gt = gt.shape[:2]
+        scale = h_gt / h_lq
+        if h_gt / h_lq != w_gt / w_lq:
             raise ValueError(
-                f"gt size {gt.shape[:2]} not an integer multiple of "
-                f"lq size {lq.shape[:2]}")
-        scale = gt.shape[0] // lq.shape[0]
+                f"Scale mismatches: GT {(h_gt, w_gt)} is not {scale}x of "
+                f"LQ {(h_lq, w_lq)}")
+        p = self.lq_patch_size
+        if h_lq < p or w_lq < p:
+            raise ValueError(f"LQ {(h_lq, w_lq)} smaller than patch {p}")
+        gp = int(p * scale)
         rng = _rng(results)
-        y0 = int(rng.integers(0, lq.shape[0] - self.patch_size + 1))
-        x0 = int(rng.integers(0, lq.shape[1] - self.patch_size + 1))
-        gp = self.patch_size * scale
-        results["lq"] = lq[y0:y0 + self.patch_size, x0:x0 + self.patch_size]
-        results["gt"] = gt[y0 * scale:y0 * scale + gp,
-                           x0 * scale:x0 * scale + gp]
-        if "gt_unsharp" in results:
-            results["gt_unsharp"] = results["gt_unsharp"][
-                y0 * scale:y0 * scale + gp, x0 * scale:x0 * scale + gp]
+        y0 = int(rng.integers(0, h_lq - p + 1))
+        x0 = int(rng.integers(0, w_lq - p + 1))
+        results["lq"] = lq[y0:y0 + p, x0:x0 + p]
+        yg, xg = int(y0 * scale), int(x0 * scale)
+        results["gt"] = gt[yg:yg + gp, xg:xg + gp]
         return results
 
 

@@ -43,14 +43,20 @@ def build_generator(cfg: dict) -> CiaoSRNet:
     gtype = cfg.pop("type")
     gname = gtype if isinstance(gtype, str) else gtype.__name__
 
+    strict = cfg.pop("strict_knobs", False)
     for knob, baked in _BAKED_IN.items():
         if knob in cfg:
             v = cfg.pop(knob)
             if v != baked and v is not None:
-                raise ValueError(
-                    f"{knob}={v!r} is not supported: the decoder bakes in "
-                    f"{knob}={baked!r} (reference collapses these knobs to "
-                    "constants; SURVEY.md §8.1)")
+                msg = (f"{knob}={v!r} has baked-in semantics "
+                       f"{knob}={baked!r} — the reference collapses these "
+                       "knobs to constants and its own __init__ rejects "
+                       "them (SURVEY.md §8.1); proceeding with the baked-in "
+                       "behavior")
+                if strict:
+                    raise ValueError(msg)
+                import warnings
+                warnings.warn(msg, stacklevel=2)
 
     enc_cfg = cfg.pop("encoder")
     window_size = cfg.pop("window_size", None)

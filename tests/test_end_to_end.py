@@ -157,18 +157,29 @@ def test_training_loss_decreases(sr_fixture):
 
 
 def test_config_loads_and_builds():
-    """The shipped 001 configs parse and their models build."""
+    """All five shipped configs parse and their models build."""
     import ciaosr_tpu.models.restorers  # noqa: F401
+    import ciaosr_tpu.models.real_restorer  # noqa: F401
+    import ciaosr_tpu.data.degradations  # noqa: F401
     from ciaosr_tpu.models.builder import build_model
+    from ciaosr_tpu.data.pipelines import Compose
 
-    for name in ("001_localimplicitsr_rdn_div2k_g1_c64b16_1000k_unfold_"
-                 "lec_mulwkv_res_nonlocal.py",
-                 "001_localimplicitsr_edsr_div2k_g1_c64b16_1000k_unfold_"
-                 "lec_mulwkv_res_nonlocal.py"):
-        cfg = Config.fromfile(os.path.join(
-            os.path.dirname(__file__), "..", "configs", name))
+    cfg_dir = os.path.join(os.path.dirname(__file__), "..", "configs")
+    for name in sorted(os.listdir(cfg_dir)):
+        cfg = Config.fromfile(os.path.join(cfg_dir, name))
         assert cfg.total_iters == 1000000
-        model = build_model(cfg.model, test_cfg=cfg.test_cfg)
-        assert model.generator.feat_dim == 64
+        model = build_model(cfg.model, train_cfg=cfg.get("train_cfg"),
+                            test_cfg=cfg.test_cfg)
         assert model.eval_bsize == 30000
-        assert cfg.test_cfg["tile"] == 192
+        # every train pipeline is buildable
+        Compose(cfg.train_pipeline)
+        if name.startswith("001"):
+            assert model.generator.feat_dim in (64, 180)
+            assert cfg.test_cfg["tile"] == 192
+        else:
+            assert model.generator.non_local_attn is False
+            assert model.is_use_ema
+            if "gan" in name and "wogan" not in name:
+                assert model.gan_loss is not None
+                assert model.discriminator is not None
+                assert cfg.load_from

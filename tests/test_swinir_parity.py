@@ -79,14 +79,17 @@ def test_swinir_ciaosr_builds(rng):
     out = net.apply(params, x, coord, cell)
     assert out.shape == (1, 50, 3)
 
-    # rejected when a knob contradicts the baked-in semantics
+    # contradicting knob values warn (or raise with strict_knobs=True)
     import pytest as _pytest
+    knob_cfg = dict(
+        type="LocalImplicitSRSWINIR", window_size=8,
+        encoder=dict(type="SwinIR", embed_dim=12, depths=[2],
+                     num_heads=[3]),
+        imnet_q=dict(type="MLPRefiner", out_dim=3, hidden_list=[16]),
+        imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]),
+        imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]),
+        imnet_k_type="no_mul")
+    with _pytest.warns(UserWarning, match="baked-in"):
+        build_generator(dict(knob_cfg))
     with _pytest.raises(ValueError):
-        build_generator(dict(
-            type="LocalImplicitSRSWINIR", window_size=8,
-            encoder=dict(type="SwinIR", embed_dim=12, depths=[2],
-                         num_heads=[3]),
-            imnet_q=dict(type="MLPRefiner", out_dim=3, hidden_list=[16]),
-            imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]),
-            imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]),
-            imnet_k_type="no_mul"))
+        build_generator(dict(knob_cfg, strict_knobs=True))

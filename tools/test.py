@@ -46,6 +46,8 @@ def main():
     from ciaosr_tpu.eval.evaluator import evaluate_dataset
     from ciaosr_tpu.models.builder import build_model
     import ciaosr_tpu.models.restorers  # noqa: F401 (registry)
+    import ciaosr_tpu.models.real_restorer  # noqa: F401
+    import ciaosr_tpu.data.degradations  # noqa: F401
 
     cfg = Config.fromfile(args.config)
     if args.seed is not None:

@@ -43,7 +43,10 @@ def main():
     from ciaosr_tpu.eval.evaluator import evaluate_dataset
     from ciaosr_tpu.models.builder import build_model
     from ciaosr_tpu.train.trainer import Trainer
+    from ciaosr_tpu.train.gan_trainer import GANTrainer
     import ciaosr_tpu.models.restorers  # noqa: F401
+    import ciaosr_tpu.models.real_restorer  # noqa: F401
+    import ciaosr_tpu.data.degradations  # noqa: F401
 
     cfg = Config.fromfile(args.config)
     work_dir = args.work_dir or cfg.work_dir
@@ -73,8 +76,14 @@ def main():
         def eval_fn(params):  # noqa: F811
             return evaluate_dataset(model, params, val_ds)
 
-    trainer = Trainer(restorer=model, cfg=cfg, work_dir=work_dir,
-                      resume_from=args.resume_from, seed=args.seed)
+    mtype = cfg.model["type"]
+    mname = mtype if isinstance(mtype, str) else mtype.__name__
+    if mname == "RealCiaoSR":
+        trainer = GANTrainer(restorer=model, cfg=cfg, work_dir=work_dir,
+                             seed=args.seed)
+    else:
+        trainer = Trainer(restorer=model, cfg=cfg, work_dir=work_dir,
+                          resume_from=args.resume_from, seed=args.seed)
     total = args.total_iters or cfg.total_iters
     trainer.run(loader, total_iters=total, eval_fn=eval_fn,
                 eval_interval=eval_interval)

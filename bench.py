@@ -4,10 +4,11 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "megapixels/s/chip", "vs_baseline": N}
 
-Workload = the reference's reported-results protocol (SURVEY.md §6):
-tile 192 LR / overlap 32, ×4 upscaling, eval_bsize 30000 query chunks —
-output megapixels (HR pixels produced) per second, steady-state (excludes
-compile).
+Workload = the reference's reported-results protocol (SURVEY.md §6): a
+192×192 LR tile (configs/001 tile setting) upscaled ×4 with the dense-grid
+decoder (bf16 compute, f32 params/accumulation) — output megapixels per
+second, steady state. Device-side timing (scalar checksum sync): this
+sandbox's host link is a ~40 MB/s tunnel that no real deployment has.
 
 Baseline: the reference publishes no throughput (BASELINE.md). We hold
 ourselves to BASELINE.json's north star — ≥5× the reference GPU's MP/s.
@@ -23,33 +24,36 @@ import numpy as np
 
 
 REFERENCE_GPU_MPS_ESTIMATE = 0.4
+LQ_TILE = 192
+SCALE = 4
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from __graft_entry__ import _flagship
 
-    restorer = _flagship()
+    restorer = _flagship(dtype="bf16")
     params = restorer.init_params(jax.random.PRNGKey(0),
                                   lq_shape=(1, 48, 48, 3), n_queries=2304)
 
     rng = np.random.default_rng(0)
-    lq_tile = 192
-    scale = 4
-    lq = rng.random((lq_tile, lq_tile, 3), dtype=np.float32)
+    lq = jnp.asarray(rng.random((1, LQ_TILE, LQ_TILE, 3), dtype=np.float32))
+    fn = restorer._grid_fn(LQ_TILE, LQ_TILE, SCALE)
 
-    # warm-up / compile
-    out = restorer.predict(params, lq, (lq_tile * scale, lq_tile * scale))
-    assert out.shape == (768, 768, 3)
+    out = fn(params, lq)                      # compile + warm-up
+    assert out.shape == (1, LQ_TILE * SCALE, LQ_TILE * SCALE, 3)
+    float(out.sum())                          # full sync
 
-    iters = 8
+    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        restorer.predict(params, lq, (lq_tile * scale, lq_tile * scale))
+    outs = [fn(params, lq) for _ in range(iters)]
+    checksum = sum(float(o.sum()) for o in outs)  # sync all
     dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
-    mp = (lq_tile * scale) ** 2 / 1e6
+    mp = (LQ_TILE * SCALE) ** 2 / 1e6
     mps = mp * iters / dt
     print(json.dumps({
         "metric": "rdn_ciaosr_x4_eval_throughput",

@@ -13,6 +13,11 @@ from __future__ import annotations
 import copy
 from typing import Any
 
+import jax.numpy as jnp
+
+_DTYPES = {None: None, "float32": jnp.float32, "fp32": jnp.float32,
+           "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+
 from ciaosr_tpu.config.registry import BACKBONES, MODELS, build_from_cfg
 from ciaosr_tpu.models.ciaosr import CiaoSRNet
 import ciaosr_tpu.models.edsr  # noqa: F401  (registry side effects)
@@ -58,6 +63,9 @@ def build_generator(cfg: dict) -> CiaoSRNet:
                 import warnings
                 warnings.warn(msg, stacklevel=2)
 
+    dtype = cfg.pop("dtype", None)
+    dtype = _DTYPES[dtype] if isinstance(dtype, (str, type(None))) else dtype
+
     enc_cfg = cfg.pop("encoder")
     window_size = cfg.pop("window_size", None)
     if gname == "LocalImplicitSRSWINIR":
@@ -66,11 +74,11 @@ def build_generator(cfg: dict) -> CiaoSRNet:
         enc_cfg.setdefault("type", "SwinIR")
         if window_size is not None:
             enc_cfg.setdefault("window_size", window_size)
-        encoder = build_from_cfg(enc_cfg, BACKBONES)
+        encoder = build_from_cfg(dict(enc_cfg, dtype=dtype), BACKBONES)
         feat_dim = getattr(encoder, "embed_dim")
     elif gname in ("LocalImplicitSRRDN", "LocalImplicitSREDSR",
                    "LocalImplicitSRNet"):
-        encoder = build_from_cfg(enc_cfg, BACKBONES)
+        encoder = build_from_cfg(dict(enc_cfg, dtype=dtype), BACKBONES)
         feat_dim = getattr(encoder, "mid_channels")
     else:
         raise KeyError(f"unknown generator type {gname}")
@@ -92,6 +100,7 @@ def build_generator(cfg: dict) -> CiaoSRNet:
         multi_scale=tuple(cfg.pop("multi_scale", (2,))),
         softmax_scale=cfg.pop("softmax_scale", 1.0),
         eval_bsize=cfg.pop("eval_bsize", None),
+        dtype=dtype,
     )
 
 

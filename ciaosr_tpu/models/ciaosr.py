@@ -68,22 +68,25 @@ class CiaoSRNet(nn.Module):
     eval_bsize: int | None = 30000
     cs_softmax_scale: float = 10.0
     cs_average: bool = True
+    dtype: Any = None  # compute dtype (bfloat16 for speed); params f32
 
     def setup(self):
         base = self.feat_dim * 9 if self.feat_unfold else self.feat_dim
         nla_dim = self.feat_dim * len(self.multi_scale) \
             if self.non_local_attn else 0
         self.imnet_k = ImplicitMLP(out_dim=base, hidden_list=self.hidden_k,
-                                   name="imnet_k")
+                                   dtype=self.dtype, name="imnet_k")
         self.imnet_v = ImplicitMLP(out_dim=base + nla_dim,
-                                   hidden_list=self.hidden_v, name="imnet_v")
+                                   hidden_list=self.hidden_v,
+                                   dtype=self.dtype, name="imnet_v")
         self.imnet_q = ImplicitMLP(out_dim=self.out_dim,
-                                   hidden_list=self.hidden_q, name="imnet_q")
+                                   hidden_list=self.hidden_q,
+                                   dtype=self.dtype, name="imnet_q")
         if self.non_local_attn:
             self.cs_attn = CrossScaleAttention(
                 channels=self.feat_dim, scales=tuple(self.multi_scale),
                 softmax_scale=self.cs_softmax_scale, average=self.cs_average,
-                name="cs_attn")
+                dtype=self.dtype, name="cs_attn")
 
     def gen_feature(self, x: jnp.ndarray) -> jnp.ndarray:
         """Encoder trunk features, NHWC."""
@@ -165,6 +168,12 @@ class CiaoSRNet(nn.Module):
         cell_hw = jnp.broadcast_to(cell_hw[:, None], (b, s_num, q, 2))
 
         # ---- modulation MLPs, batched over all shifts (:195-206)
+        cdt = self.dtype or key.dtype
+        rel = rel.astype(cdt)
+        cell_hw = cell_hw.astype(cdt)
+        key = key.astype(cdt)
+        value = value.astype(cdt)
+        query = query.astype(cdt)
         inp_k = jnp.concatenate([key, rel, cell_hw], axis=-1)
         inp_v = jnp.concatenate([value, rel, cell_hw], axis=-1)
         pred_k = key * self.imnet_k(inp_k)                     # (B,S,Q,Dk)
@@ -178,6 +187,118 @@ class CiaoSRNet(nn.Module):
                          preferred_element_type=jnp.float32)
 
         # ---- final implicit MLP + global bilinear residual (:220-222,107)
-        rgb = self.imnet_q(out)
-        rgb = rgb + grid_sample_bilinear_border(x, coord)
+        rgb = self.imnet_q(out.astype(cdt)).astype(jnp.float32)
+        rgb = rgb + grid_sample_bilinear_border(
+            x.astype(jnp.float32), coord)
         return rgb
+
+    def query_rgb_grid(self, feature: jnp.ndarray, x: jnp.ndarray,
+                       scale: int, phase_group: int = 4) -> jnp.ndarray:
+        """Dense full-grid decode for INTEGER scales — the TPU-first eval
+        path. Returns (B, s·H, s·W, 3).
+
+        For a uniform HR grid at integer scale s, every decoder quantity is
+        periodic in the pixel phase (a, b) = (i mod s, j mod s):
+          * the nearest LR index is i//s for every phase (|rel|/2 < 1/2),
+          * rel offsets and cells are per-phase constants,
+          * each local-ensemble shift (ciaosr_net.py:159-173) snaps to a
+            CONSTANT neighbor offset in {-1,0,1} (clamped at borders).
+        So the per-query gathers of query_rgb become s² dense per-LR-pixel
+        passes over edge-clamped shifted feature maps — zero gathers, pure
+        MXU matmuls — and the HR image is assembled by pixel shuffle.
+        Numerics match query_rgb on grid coords (same math, constants
+        precomputed in float64 instead of per-query float32).
+        """
+        import numpy as np
+
+        s = int(scale)
+        b, h, w, c = feature.shape
+        cdt = self.dtype or feature.dtype
+        from ciaosr_tpu.ops.neighborhood import unfold_nhwc
+        from ciaosr_tpu.ops.sampling import interpolate_bilinear
+
+        u_map = unfold_nhwc(feature) if self.feat_unfold else feature
+        if self.non_local_attn:
+            v_map = jnp.concatenate([u_map, self.cs_attn(feature)], axis=-1)
+        else:
+            v_map = u_map
+        u_map = u_map.astype(cdt)
+        v_map = v_map.astype(cdt)
+        query = u_map                                  # unshifted (B,H,W,Dq)
+
+        def shifted(t, dy, dx):
+            if dy == 0 and dx == 0:
+                return t
+            p = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+            return p[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w, :]
+
+        # ---- per-phase constants (float64 host-side) ----
+        def axis_consts(n, big_n):
+            rel = (2.0 * np.arange(s) + 1.0) / s - 1.0          # (s,)
+            rx = (1.0 - 2.0 / big_n) / (n - 1)
+            d = {0: np.zeros(s, np.int64)}
+            for sign in (-1, 1):
+                t = rel / 2 + sign * (n * rx / 2) + n * 1e-6 / 2
+                d[sign] = np.round(t).astype(np.int64)
+            return rel, d
+
+        rel_y, dy_tab = axis_consts(h, s * h)
+        rel_x, dx_tab = axis_consts(w, s * w)
+        cell_val = 2.0 / s                              # cell · (H, W)
+
+        shifts = shift_offsets(self.local_size)
+        n_shift = len(shifts)
+        phases = [(a, bb) for a in range(s) for bb in range(s)]
+
+        def rel_axis_map(n, rel_val, d):
+            """(n,) rel values incl. border clamp (coord clamp ⇒ d_eff=0)."""
+            m = np.arange(n)
+            d_eff = np.clip(m + d, 0, n - 1) - m
+            return (rel_val - 2.0 * d_eff).astype(np.float32)
+
+        out_phases = []
+        for g0 in range(0, len(phases), phase_group):
+            group = phases[g0:g0 + phase_group]
+            pg = len(group)
+            logits = []
+            pred_vs = []
+            for vy, vx in shifts:
+                k_list, v_list, rc_list = [], [], []
+                for a, bb in group:
+                    dy = int(dy_tab[int(np.sign(vy))][a]) if vy else 0
+                    dx = int(dx_tab[int(np.sign(vx))][bb]) if vx else 0
+                    k_list.append(shifted(u_map, dy, dx))
+                    v_list.append(shifted(v_map, dy, dx))
+                    ry = rel_axis_map(h, rel_y[a], dy)
+                    rx_ = rel_axis_map(w, rel_x[bb], dx)
+                    rc = jnp.stack(
+                        [jnp.broadcast_to(jnp.asarray(ry)[:, None], (h, w)),
+                         jnp.broadcast_to(jnp.asarray(rx_)[None, :], (h, w)),
+                         jnp.full((h, w), cell_val, jnp.float32),
+                         jnp.full((h, w), cell_val, jnp.float32)], axis=-1)
+                    rc_list.append(rc.astype(cdt))
+                key = jnp.stack(k_list)                    # (Pg,B,H,W,Dk)
+                val = jnp.stack(v_list)
+                rc = jnp.broadcast_to(jnp.stack(rc_list)[:, None],
+                                      (pg, b, h, w, 4))
+                wk = self.imnet_k(jnp.concatenate([key, rc], -1))
+                wv = self.imnet_v(jnp.concatenate([val, rc], -1))
+                logit = jnp.einsum("bhwc,pbhwc->pbhw", query, key * wk,
+                                   preferred_element_type=jnp.float32)
+                logits.append(logit)
+                pred_vs.append(val * wv)
+            attn = nn.softmax(
+                jnp.stack(logits, axis=-1) / self.softmax_scale, axis=-1)
+            outv = sum(attn[..., i:i + 1].astype(jnp.float32)
+                       * pred_vs[i].astype(jnp.float32)
+                       for i in range(n_shift))
+            rgb = self.imnet_q(outv.astype(cdt)).astype(jnp.float32)
+            out_phases.append(rgb)                        # (Pg,B,H,W,3)
+
+        # ---- pixel-shuffle assembly: out[s·m+a, s·n+bb] = phase(a,bb) ----
+        all_p = jnp.concatenate(out_phases, axis=0)       # (s²,B,H,W,3)
+        all_p = all_p.reshape(s, s, b, h, w, 3)
+        img = all_p.transpose(2, 3, 0, 4, 1, 5).reshape(b, s * h, s * w, 3)
+        img = img + interpolate_bilinear(x.astype(jnp.float32),
+                                         s * h, s * w)
+        return img

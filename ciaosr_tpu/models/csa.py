@@ -13,7 +13,7 @@ The data-dependent convolutions disappear entirely; everything is batched.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -62,6 +62,7 @@ class CrossScaleAttention(nn.Module):
     stride: int = 1
     softmax_scale: float = 10.0
     average: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -72,7 +73,7 @@ class CrossScaleAttention(nn.Module):
             def apply(inp):
                 y = nn.Conv(feats, (1, 1), kernel_init=torch_kernel_init,
                             bias_init=torch_bias_init(inp.shape[-1]),
-                            name=f"{name}_conv")(inp)
+                            dtype=self.dtype, name=f"{name}_conv")(inp)
                 return nn.PReLU(negative_slope_init=0.25,
                                 name=f"{name}_prelu")(y)
             return apply
@@ -120,7 +121,7 @@ class CrossScaleAttention(nn.Module):
             name = "down" if s == 2 else f"downx{s}"
             y = nn.Conv(self.channels, (self.ksize, self.ksize),
                         strides=(s, s), padding=((1, 1), (1, 1)),
-                        kernel_init=torch_kernel_init,
+                        kernel_init=torch_kernel_init, dtype=self.dtype,
                         bias_init=torch_bias_init(y.shape[-1] * self.ksize ** 2),
                         name=name)(y)
             y = y / 6.0

@@ -9,7 +9,7 @@ leading dims; unnecessary here).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -28,13 +28,14 @@ class ImplicitMLP(nn.Module):
     hidden_list: Sequence[int] = ()
     in_dim: int | None = None  # accepted for config parity; validated only
     act: str = "relu"
+    dtype: Any = None  # computation dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, h in enumerate(self.hidden_list):
             x = nn.Dense(h, kernel_init=torch_kernel_init,
                          bias_init=torch_bias_init(x.shape[-1]),
-                         name=f"layers_{i}")(x)
+                         dtype=self.dtype, name=f"layers_{i}")(x)
             if self.act == "relu":
                 x = nn.relu(x)
             elif self.act == "sin":
@@ -45,4 +46,4 @@ class ImplicitMLP(nn.Module):
                 raise ValueError(f"unknown act {self.act}")
         return nn.Dense(self.out_dim, kernel_init=torch_kernel_init,
                         bias_init=torch_bias_init(x.shape[-1]),
-                        name="out")(x)
+                        dtype=self.dtype, name="out")(x)

@@ -19,7 +19,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import numpy as np
 import flax.linen as nn
@@ -79,6 +79,7 @@ class WindowAttention(nn.Module):
     window_size: int
     num_heads: int
     qkv_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: np.ndarray | None):
@@ -88,7 +89,7 @@ class WindowAttention(nn.Module):
         scale = head_dim ** -0.5
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=trunc_init,
-                       name="qkv")(x)
+                       dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(bw, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
 
@@ -112,7 +113,8 @@ class WindowAttention(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
-        return nn.Dense(c, kernel_init=trunc_init,
+        out = out.astype(self.dtype or out.dtype)
+        return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
                         bias_init=nn.initializers.zeros, name="proj")(out)
 
 
@@ -123,6 +125,7 @@ class SwinBlock(nn.Module):
     shift_size: int
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_size: tuple[int, int]):
@@ -141,7 +144,8 @@ class SwinBlock(nn.Module):
         windows = window_partition(x, ws)
         mask = _attn_mask(h, w, ws, shift)
         attn_out = WindowAttention(self.dim, ws, self.num_heads,
-                                   self.qkv_bias, name="attn")(windows, mask)
+                                   self.qkv_bias, dtype=self.dtype,
+                                   name="attn")(windows, mask)
         x = window_reverse(attn_out, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -149,10 +153,10 @@ class SwinBlock(nn.Module):
 
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         hidden = int(c * self.mlp_ratio)
-        y = nn.Dense(hidden, kernel_init=trunc_init,
+        y = nn.Dense(hidden, kernel_init=trunc_init, dtype=self.dtype,
                      bias_init=nn.initializers.zeros, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(c, kernel_init=trunc_init,
+        y = nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
                      bias_init=nn.initializers.zeros, name="mlp_fc2")(y)
         return x + y
 
@@ -166,6 +170,7 @@ class RSTB(nn.Module):
     window_size: int
     mlp_ratio: float = 2.0
     qkv_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, x_size: tuple[int, int]):
@@ -176,10 +181,10 @@ class RSTB(nn.Module):
             x = SwinBlock(self.dim, self.num_heads, self.window_size,
                           shift_size=0 if i % 2 == 0 else self.window_size // 2,
                           mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                          name=f"blocks_{i}")(x, x_size)
+                          dtype=self.dtype, name=f"blocks_{i}")(x, x_size)
         img = x.reshape(b, h, w, c)
         img = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
-                      kernel_init=trunc_init,
+                      kernel_init=trunc_init, dtype=self.dtype,
                       bias_init=torch_bias_init(c * 9), name="conv")(img)
         return img.reshape(b, n, c) + res
 
@@ -212,6 +217,7 @@ class SwinIREncoder(nn.Module):
     conv_scale: float = 0.01
     overlap_ratio: float = 0.5
     ape: bool = False
+    dtype: Any = None
 
     # the decoder reads feat_dim from here (ciaosr_net.py:60)
     @property
@@ -230,7 +236,7 @@ class SwinIREncoder(nn.Module):
         h, w = h0 + pad_h, w0 + pad_w
 
         x = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
-                    kernel_init=trunc_init,
+                    kernel_init=trunc_init, dtype=self.dtype,
                     bias_init=torch_bias_init(self.in_chans * 9),
                     name="conv_first")(img)
         skip = x
@@ -241,12 +247,12 @@ class SwinIREncoder(nn.Module):
         for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             feat = RSTB(self.embed_dim, depth, heads, ws,
                         mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                        name=f"layers_{i}")(feat, (h, w))
+                        dtype=self.dtype, name=f"layers_{i}")(feat, (h, w))
         feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
         feat = feat.reshape(b, h, w, self.embed_dim)
 
         feat = nn.Conv(self.embed_dim, (3, 3), padding=((1, 1), (1, 1)),
-                       kernel_init=trunc_init,
+                       kernel_init=trunc_init, dtype=self.dtype,
                        bias_init=torch_bias_init(self.embed_dim * 9),
                        name="conv_after_body")(feat)
         out = feat + skip

@@ -192,10 +192,10 @@ class GenerateCoordinateAndCell:
         self.is_shuffle = is_shuffle
 
     def __call__(self, results):
-        if "gt" in results and results["gt"].ndim == 3:
-            target = results["gt"].shape[:2]
-        elif self.target_size is not None:
+        if self.target_size is not None:
             target = tuple(self.target_size)
+        elif "gt" in results and results["gt"].ndim == 3:
+            target = results["gt"].shape[:2]
         elif self.scale is not None and "lq" in results:
             target = (round(results["lq"].shape[0] * self.scale),
                       round(results["lq"].shape[1] * self.scale))
@@ -225,6 +225,95 @@ class GenerateCoordinateAndCell:
         results["coord"] = coord
         results["cell"] = cell
         results["target_size"] = target
+        return results
+
+
+@PIPELINES.register(name="RandomBicubicSampling")
+class RandomBicubicSampling(RandomDownSampling):
+    """MATLAB-exact random bicubic LQ synthesis — the reference's in-tree
+    drop-in for RandomDownSampling (random_bicubic_sampling.py:11-97);
+    identical to our RandomDownSampling with the 'matlab' backend."""
+
+    def __init__(self, scale_min=1.0, scale_max=4.0, patch_size=None,
+                 interpolation="bicubic", **kwargs):
+        super().__init__(scale_min=scale_min, scale_max=scale_max,
+                         patch_size=patch_size, interpolation=interpolation,
+                         backend="matlab")
+
+
+@PIPELINES.register(name="GenerateCoordinateAndCell1")
+class GenerateCoordinateAndCell1(GenerateCoordinateAndCell):
+    """Reference local variant (generate_assistant.py:8-102): same math,
+    plus gt_unsharp subsampling — already handled by the base op."""
+
+
+@PIPELINES.register(name="GenerateCoordinateAndCell2")
+class GenerateCoordinateAndCell2(GenerateCoordinateAndCell):
+    """Super-sampling-eval variant (generate_assistant.py:105-192): the
+    target grid is derived from the GT size rescaled by scale1/scale."""
+
+    def __init__(self, sample_quantity=None, scale=1.0, scale1=1.0,
+                 is_shuffle=True):
+        super().__init__(sample_quantity=sample_quantity, scale=None,
+                         target_size=None, is_shuffle=is_shuffle)
+        self.rescale = scale1 / scale
+
+    def __call__(self, results):
+        if "gt" in results and results["gt"].ndim == 3:
+            h, w = results["gt"].shape[:2]
+            self_target = (round(h * self.rescale), round(w * self.rescale))
+            op = GenerateCoordinateAndCell(
+                sample_quantity=self.sample_quantity,
+                target_size=self_target, is_shuffle=self.is_shuffle)
+            saved = results.pop("gt") if self.sample_quantity is None \
+                else None
+            out = op(results)
+            if saved is not None:
+                out["gt"] = saved
+            return out
+        return super().__call__(results)
+
+
+@PIPELINES.register(name="RandomCrop")
+class RandomCrop:
+    """GT-only random crop (crop.py:49-96)."""
+
+    def __init__(self, patch_size, keys=("gt",)):
+        self.patch_size = patch_size
+        self.keys = keys
+
+    def __call__(self, results):
+        rng = _rng(results)
+        for k in self.keys:
+            img = results[k]
+            h, w = img.shape[:2]
+            p = self.patch_size
+            y0 = int(rng.integers(0, max(h - p, 0) + 1))
+            x0 = int(rng.integers(0, max(w - p, 0) + 1))
+            results[k] = img[y0:y0 + p, x0:x0 + p]
+        return results
+
+
+@PIPELINES.register(name="ContinuousPairedRandomCrop")
+class ContinuousPairedRandomCrop:
+    """Paired crop at a continuous (float) scale (crop.py:99-171): crop an
+    lq patch and the gt patch at int-scaled offsets/sizes."""
+
+    def __init__(self, lq_patch_size, keys=("lq", "gt")):
+        self.lq_patch_size = lq_patch_size
+        self.keys = keys
+
+    def __call__(self, results):
+        lq, gt = results["lq"], results["gt"]
+        scale = gt.shape[0] / lq.shape[0]
+        p = self.lq_patch_size
+        rng = _rng(results)
+        y0 = int(rng.integers(0, lq.shape[0] - p + 1))
+        x0 = int(rng.integers(0, lq.shape[1] - p + 1))
+        gp = round(p * scale)
+        results["lq"] = lq[y0:y0 + p, x0:x0 + p]
+        yg, xg = round(y0 * scale), round(x0 * scale)
+        results["gt"] = gt[yg:yg + gp, xg:xg + gp]
         return results
 
 

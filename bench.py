@@ -46,10 +46,13 @@ def main():
     assert out.shape == (1, LQ_TILE * SCALE, LQ_TILE * SCALE, 3)
     float(out.sum())                          # full sync
 
-    iters = 10
+    # single final sync: per-result syncs through this sandbox's host
+    # tunnel cost ~33 ms each and would swamp the measurement; device
+    # execution is in-order, so syncing the last result bounds all.
+    iters = 20
     t0 = time.perf_counter()
     outs = [fn(params, lq) for _ in range(iters)]
-    checksum = sum(float(o.sum()) for o in outs)  # sync all
+    checksum = float(outs[-1].sum())
     dt = time.perf_counter() - t0
     assert np.isfinite(checksum)
 

@@ -20,6 +20,7 @@ nothing; we keep them for static shapes.
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -98,6 +99,14 @@ def imresize_np(img: np.ndarray, size=None, scale: float | None = None,
         out_h, out_w = size
         if scale is None:
             scale = out_h / in_h
+    # native C++ fast path (same numerics; ciaosr_tpu/data/native.py)
+    if img.ndim == 3 and os.environ.get("CIAOSR_NATIVE", "1") != "0":
+        from ciaosr_tpu.data.native import bicubic_resize
+        out = bicubic_resize(img.astype(np.float32), out_h, out_w,
+                             float(scale), antialiasing)
+        if out is not None:
+            return out[..., 0] if squeeze else out
+
     idx_h, w_h = resize_table(in_h, out_h, float(scale), antialiasing)
     idx_w, w_w = resize_table(in_w, out_w, float(scale), antialiasing)
     out = _apply_axis_np(img.astype(np.float64), idx_h, w_h, axis=0)

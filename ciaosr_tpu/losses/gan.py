@@ -54,15 +54,42 @@ class GANLoss:
             else:
                 loss = -jnp.mean(pred)
         elif self.gan_type == "smgan":
-            # soft-mask GAN: lsgan against a (blurred) mask target; without
-            # a mask it reduces to lsgan (gan_loss.py:134-248)
+            # soft-mask GAN (gan_loss.py:100-126): MSE against a
+            # Gaussian-blurred mask target (disc/fake) or mask-weighted
+            # MSE (generator). pred and mask must share spatial shape.
             target = self.real_label_val if target_is_real \
                 else self.fake_label_val
-            if mask is not None and not target_is_real:
-                loss = jnp.mean((pred - (1 - mask) * target) ** 2)
-            else:
+            if mask is None:
                 loss = jnp.mean((pred - target) ** 2)
+            elif is_disc:
+                if target_is_real:
+                    loss = jnp.mean((pred - target) ** 2)
+                else:
+                    tgt = jax.lax.stop_gradient(
+                        gaussian_blur_71(mask))
+                    loss = jnp.mean((pred - tgt) ** 2)
+            else:
+                per_px = (pred - target) ** 2
+                loss = jnp.mean(per_px * mask / jnp.mean(mask))
         return loss if is_disc else loss * self.loss_weight
+
+
+def gaussian_blur_71(mask: jnp.ndarray, kernel_size: int = 71,
+                     sigma: float = 10.0) -> jnp.ndarray:
+    """Depthwise 2-D Gaussian blur (GANLoss smgan mask target,
+    gan_loss.py:134-248; NHWC)."""
+    import numpy as np
+    x = np.arange(kernel_size, dtype=np.float64) - (kernel_size - 1) / 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g /= g.sum()
+    k2 = jnp.asarray(np.outer(g, g), jnp.float32)
+    c = mask.shape[-1]
+    kernel = jnp.tile(k2[:, :, None, None], (1, 1, 1, c))
+    pad = (kernel_size - 1) // 2
+    return jax.lax.conv_general_dilated(
+        mask, kernel, (1, 1), ((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
 
 
 def _reduce(x, reduction, weight=None):

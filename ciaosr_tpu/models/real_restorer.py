@@ -76,8 +76,10 @@ class RealCiaoSRRestorer(CiaoSRRestorer):
             if hasattr(tc, "get") else 0
         self.ema_momentum = tc.get("ema_momentum", 0.999) \
             if hasattr(tc, "get") else 0.999
-        self.ema_start_iter = tc.get("start_iter", 0) \
-            if hasattr(tc, "get") else 0
+        # start_iter: iteration at which the GENERATOR re-seeds from the
+        # EMA copy (real_ciaosr.py:118-125); -1 = never (reference default)
+        self.ema_start_iter = tc.get("start_iter", -1) \
+            if hasattr(tc, "get") else -1
 
     # ------------------------------------------------------------- init --
     def init_gan_state(self, rng, g_tx, d_tx, lq_shape=(1, 64, 64, 3),
@@ -162,6 +164,13 @@ class RealCiaoSRRestorer(CiaoSRRestorer):
         @jax.jit
         def train_step(state: GANTrainState, batch: dict):
             step = state.step
+
+            # generator re-seeds from EMA at start_iter (:118-125)
+            if self.ema_start_iter >= 0:
+                seed_now = step == self.ema_start_iter
+                state = state.replace(g_params=jax.tree.map(
+                    lambda g, e: jnp.where(seed_now, e, g),
+                    state.g_params, state.ema_params))
 
             # ---- generator phase (gated: real_ciaosr.py:157-189) ----
             def g_update(_):

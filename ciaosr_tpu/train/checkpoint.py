@@ -15,25 +15,40 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
+    """Orbax wrapper. ``keep_best_metric`` keeps the top-k checkpoints by a
+    validation metric, MAXIMIZED — the intent of the reference's Lightning
+    path (train_pl.py:80-82), whose mode='min' on PSNR selected the WORST
+    checkpoints (defect SURVEY.md §8.5, fixed here)."""
+
     def __init__(self, work_dir: str, max_to_keep: int = 10,
-                 interval: int = 3000):
+                 interval: int = 3000, keep_best_metric: str | None = None):
         self.dir = os.path.abspath(os.path.join(work_dir, "checkpoints"))
         os.makedirs(self.dir, exist_ok=True)
         self.interval = interval
+        self.keep_best_metric = keep_best_metric
+        opts = dict(max_to_keep=max_to_keep, create=True,
+                    enable_async_checkpointing=True)
+        if keep_best_metric:
+            opts.update(best_fn=lambda m: m.get(keep_best_metric,
+                                                float("-inf")),
+                        best_mode="max")
         self.mgr = ocp.CheckpointManager(
-            self.dir,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True,
-                enable_async_checkpointing=True))
+            self.dir, options=ocp.CheckpointManagerOptions(**opts))
 
-    def maybe_save(self, step: int, state) -> bool:
+    def maybe_save(self, step: int, state, metrics: dict | None = None
+                   ) -> bool:
         if step % self.interval != 0:
             return False
-        self.save(step, state)
+        self.save(step, state, metrics)
         return True
 
-    def save(self, step: int, state):
-        self.mgr.save(step, args=ocp.args.StandardSave(state))
+    def save(self, step: int, state, metrics: dict | None = None):
+        kwargs = {}
+        if self.keep_best_metric:
+            kwargs["metrics"] = {
+                k: float(v) for k, v in (metrics or {}).items()
+                if isinstance(v, (int, float))}
+        self.mgr.save(step, args=ocp.args.StandardSave(state), **kwargs)
 
     def latest_step(self) -> int | None:
         return self.mgr.latest_step()

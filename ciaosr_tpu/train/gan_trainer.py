@@ -38,10 +38,12 @@ class GANTrainer:
             dict(opt_cfg.get("discriminator", opt_cfg["generator"])), lr_cfg)
         self.train_step = self.restorer.make_gan_train_step(self.g_tx,
                                                             self.d_tx)
+        ckpt_cfg = self.cfg.get("checkpoint_config", {})
         self.ckpt = CheckpointManager(
             self.work_dir,
-            interval=self.cfg.get("checkpoint_config", {}).get(
-                "interval", 3000))
+            interval=ckpt_cfg.get("interval", 3000),
+            max_to_keep=ckpt_cfg.get("max_to_keep", 10),
+            keep_best_metric=ckpt_cfg.get("keep_best_metric"))
         self.logger = MetricLogger(
             self.work_dir,
             interval=self.cfg.get("log_config", {}).get("interval", 100))
@@ -72,6 +74,7 @@ class GANTrainer:
 
         step = int(state.step)
         t_last = time.time()
+        last_eval: dict = {}
         while step < total_iters:
             device_batch = shard_batch(self.mesh, batch)
             state, metrics = self.train_step(state, device_batch)
@@ -79,10 +82,10 @@ class GANTrainer:
             ips = 1.0 / max(time.time() - t_last, 1e-9)
             t_last = time.time()
             self.logger.log(step, metrics, {"iters_per_s": ips})
-            self.ckpt.maybe_save(step, jax.device_get(state))
             if eval_fn and eval_interval and step % eval_interval == 0:
-                results = eval_fn(state)
-                print(f"[eval @ {step}] {results}", flush=True)
+                last_eval = eval_fn(state)
+                print(f"[eval @ {step}] {last_eval}", flush=True)
+            self.ckpt.maybe_save(step, jax.device_get(state), last_eval)
             if step >= total_iters:
                 break
             batch = next(it)

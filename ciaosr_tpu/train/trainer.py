@@ -106,10 +106,12 @@ class Trainer:
             dict(self.cfg.optimizers), dict(self.cfg.get("lr_config") or {}))
         self.tx = tx
         self.train_step = make_train_step(self.restorer, tx)
+        ckpt_cfg = self.cfg.get("checkpoint_config", {})
         self.ckpt = CheckpointManager(
             self.work_dir,
-            interval=self.cfg.get("checkpoint_config", {}).get(
-                "interval", 3000))
+            interval=ckpt_cfg.get("interval", 3000),
+            max_to_keep=ckpt_cfg.get("max_to_keep", 10),
+            keep_best_metric=ckpt_cfg.get("keep_best_metric"))
         self.logger = MetricLogger(
             self.work_dir,
             interval=self.cfg.get("log_config", {}).get("interval", 100))
@@ -139,6 +141,7 @@ class Trainer:
         step = int(state.step)
         t_last = time.time()
         batch = first
+        last_eval: dict = {}
         while step < total_iters:
             device_batch = shard_batch(self.mesh, batch)
             state, metrics = self.train_step(state, device_batch)
@@ -149,13 +152,13 @@ class Trainer:
                             {"lr": float(self.schedule(step)) if callable(
                                 self.schedule) else self.schedule,
                              "iters_per_s": ips})
-            self.ckpt.maybe_save(step, jax.device_get(state))
             if eval_fn and eval_interval and step % eval_interval == 0:
-                results = eval_fn(state.params)
-                print(f"[eval @ {step}] {results}", flush=True)
+                last_eval = eval_fn(state.params)
+                print(f"[eval @ {step}] {last_eval}", flush=True)
                 self.logger.log(step, {f"val_{k}": v
-                                       for k, v in results.items()
+                                       for k, v in last_eval.items()
                                        if isinstance(v, (int, float))})
+            self.ckpt.maybe_save(step, jax.device_get(state), last_eval)
             if step >= total_iters:
                 break
             batch = next(it)

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Throughput benchmark suite: eval per scale + training step.
+
+    python tools/benchmark.py [--model rdn|edsr|swinir] [--scales 2 3 4 ...]
+                              [--tile 192] [--train] [--json OUT]
+
+Eval workload matches the reported-results protocol (tile=LR input,
+dense-grid decoder, bf16 compute); training workload is the 001 recipe
+(batch 16, LR patch 48, 2304 queries). Device-side timing with a single
+final sync (see bench.py note on the sandbox host tunnel).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+ENCODERS = {
+    "rdn": dict(type="RDN", in_channels=3, mid_channels=64, num_blocks=16,
+                num_layers=8, channel_growth=64),
+    "edsr": dict(type="EDSR", in_channels=3, mid_channels=64, num_blocks=16),
+    "swinir": dict(type="SwinIR", embed_dim=180, depths=[6] * 6,
+                   num_heads=[6] * 6, window_size=8, mlp_ratio=2),
+}
+GEN_TYPES = {"rdn": "LocalImplicitSRRDN", "edsr": "LocalImplicitSREDSR",
+             "swinir": "LocalImplicitSRSWINIR"}
+
+
+def build(model: str, dtype="bf16"):
+    import ciaosr_tpu.models.restorers  # noqa: F401
+    from ciaosr_tpu.models.restorers import CiaoSRRestorer
+    gen = dict(type=GEN_TYPES[model], encoder=ENCODERS[model],
+               imnet_q=dict(type="MLPRefiner", out_dim=3,
+                            hidden_list=[256] * 4),
+               imnet_k=dict(type="MLPRefiner", out_dim=64,
+                            hidden_list=[256] * 4),
+               imnet_v=dict(type="MLPRefiner", out_dim=64,
+                            hidden_list=[256] * 4),
+               feat_unfold=True, eval_bsize=30000, dtype=dtype)
+    if model == "swinir":
+        gen["window_size"] = 8
+    return CiaoSRRestorer(generator=gen, test_cfg=dict(metrics=["PSNR"]))
+
+
+def bench_fn(fn, *args, iters=15):
+    import jax  # noqa: F401
+    out = fn(*args)
+    _ = float(np.asarray(out).ravel()[0]) if hasattr(out, "ravel") \
+        else float(out[0].sum() if isinstance(out, tuple) else out.sum())
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    last = outs[-1]
+    _ = float((last[0] if isinstance(last, tuple) else last).sum())
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="rdn", choices=sorted(ENCODERS))
+    p.add_argument("--scales", type=int, nargs="+", default=[2, 3, 4, 6, 8])
+    p.add_argument("--tile", type=int, default=192)
+    p.add_argument("--train", action="store_true",
+                   help="also benchmark the training step")
+    p.add_argument("--json", help="write results here")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    restorer = build(args.model)
+    params = restorer.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    results = {"model": args.model, "tile": args.tile,
+               "device": str(jax.devices()[0])}
+
+    lq = jnp.asarray(rng.random((1, args.tile, args.tile, 3),
+                                dtype=np.float32))
+    for s in args.scales:
+        fn = restorer._grid_fn(args.tile, args.tile, s)
+        dt = bench_fn(fn, params, lq)
+        mps = (args.tile * s) ** 2 / 1e6 / dt
+        results[f"x{s}_ms"] = round(dt * 1e3, 1)
+        results[f"x{s}_mps"] = round(mps, 2)
+        print(f"x{s}: {dt * 1e3:7.1f} ms/tile  {mps:7.2f} MP/s", flush=True)
+
+    if args.train:
+        from ciaosr_tpu.train.optim import build_optimizer
+        from ciaosr_tpu.train.trainer import TrainState, make_train_step
+        restorer_f32 = build(args.model, dtype=None)
+        tx, _ = build_optimizer(dict(type="Adam", lr=1e-4), None)
+        step_fn = make_train_step(restorer_f32, tx)
+        b, patch, q = 16, 48, 2304
+        tparams = restorer_f32.init_params(
+            jax.random.PRNGKey(0), lq_shape=(1, patch, patch, 3),
+            n_queries=q)
+        state = TrainState(step=jnp.asarray(0), params=tparams,
+                           opt_state=tx.init(tparams))
+        batch = {
+            "lq": jnp.asarray(rng.random((b, patch, patch, 3), np.float32)),
+            "gt": jnp.asarray(rng.random((b, q, 3), np.float32)),
+            "coord": jnp.asarray(rng.uniform(-0.99, 0.99,
+                                             (b, q, 2)).astype(np.float32)),
+            "cell": jnp.full((b, q, 2), 2.0 / 192, jnp.float32),
+        }
+
+        def train_once(state_and_batch):
+            st, bt = state_and_batch
+            st2, m = step_fn(st, bt)
+            return st2, m
+
+        state, m = step_fn(state, batch)  # compile
+        _ = float(m["loss_pix"])
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            state, m = step_fn(state, batch)
+        _ = float(m["loss_pix"])
+        dt = (time.perf_counter() - t0) / iters
+        results["train_step_ms"] = round(dt * 1e3, 1)
+        results["train_iters_per_s"] = round(1.0 / dt, 2)
+        print(f"train step (b{b}, {patch}px, {q}q): {dt * 1e3:.1f} ms "
+              f"({1 / dt:.2f} it/s)", flush=True)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

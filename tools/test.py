@@ -29,6 +29,11 @@ def parse_args():
     p.add_argument("--launcher", default="none",
                    choices=["none", "tpu"],
                    help="'tpu' runs jax.distributed.initialize()")
+    p.add_argument("--gpu-collect", action="store_true",
+                   help="accepted for reference-CLI parity; result "
+                        "gathering always uses process_allgather")
+    p.add_argument("--tmpdir",
+                   help="accepted for reference-CLI parity; unused")
     p.add_argument("--split", default="test", choices=["test", "val"])
     return p.parse_args()
 

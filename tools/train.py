@@ -26,6 +26,10 @@ def parse_args():
                         "(reference tools/train.py:105-107 rule)")
     p.add_argument("--total-iters", type=int, default=None,
                    help="override config total_iters (smoke runs)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute (f32 params) — the reference "
+                        "Lightning path's precision intent "
+                        "(tools/train_pl.py:77)")
     p.add_argument("--launcher", default="none", choices=["none", "tpu"])
     return p.parse_args()
 
@@ -58,6 +62,9 @@ def main():
         cfg.optimizers = dict(cfg.optimizers)
         cfg.optimizers["lr"] = cfg.optimizers["lr"] * jax.device_count() / 8
 
+    if args.bf16:
+        cfg.model = dict(cfg.model)
+        cfg.model["generator"] = dict(cfg.model["generator"], dtype="bf16")
     model = build_model(cfg.model, train_cfg=cfg.get("train_cfg"),
                         test_cfg=cfg.test_cfg)
     train_ds = build_dataset(cfg.data["train"])

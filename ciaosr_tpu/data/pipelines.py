@@ -13,7 +13,6 @@ reference's in-place op state (SURVEY.md §8.10), ops here are stateless.
 
 from __future__ import annotations
 
-import numbers
 import os
 
 import numpy as np

@@ -90,7 +90,7 @@ class RealCiaoSRRestorer(CiaoSRRestorer):
             g_params = self.init_params(rng_g, lq_shape, n_queries)
         if self.discriminator is not None:
             side = int(math.isqrt(n_queries))
-            d_vars = dict(self.discriminator.init(
+            d_vars = dict(jax.jit(self.discriminator.init)(
                 rng_d, jnp.zeros((lq_shape[0], side, side, 3), jnp.float32)))
             d_vars.setdefault("batch_stats", {})
             d_opt = d_tx.init(d_vars["params"])

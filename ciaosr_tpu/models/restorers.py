@@ -9,7 +9,6 @@ query chunks via lax.map (SURVEY.md §5.7).
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import numpy as np
@@ -55,8 +54,10 @@ class CiaoSRRestorer:
     def init_params(self, rng, lq_shape=(1, 48, 48, 3), n_queries: int = 64):
         coord = jnp.zeros((lq_shape[0], n_queries, 2), jnp.float32)
         cell = jnp.full((lq_shape[0], n_queries, 2), 0.01, jnp.float32)
-        return self.generator.init(rng, jnp.zeros(lq_shape, jnp.float32),
-                                   coord, cell)
+        # jit the init: eager init dispatches hundreds of tiny ops (very
+        # slow on high-latency device links)
+        return jax.jit(self.generator.init)(
+            rng, jnp.zeros(lq_shape, jnp.float32), coord, cell)
 
     # ---------------------------------------------------------- forward --
     def normalize(self, img: jnp.ndarray) -> jnp.ndarray:

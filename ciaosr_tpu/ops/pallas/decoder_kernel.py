@@ -21,9 +21,6 @@ their border-clamp corrections.
 
 from __future__ import annotations
 
-import functools
-import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

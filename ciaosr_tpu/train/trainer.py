@@ -73,11 +73,21 @@ class MetricLogger:
         self._acc: dict[str, list] = {}
 
     def log(self, step: int, metrics: dict, extra: dict | None = None):
+        # keep device arrays; convert once per interval (a host sync per
+        # step is expensive on high-latency device links)
         for k, v in metrics.items():
-            self._acc.setdefault(k, []).append(float(v))
+            self._acc.setdefault(k, []).append(v)
         if step % self.interval != 0:
             return
-        means = {k: float(np.mean(v)) for k, v in self._acc.items()}
+        def _mean(vals):
+            try:
+                import jax.numpy as _jnp
+                return float(np.asarray(_jnp.stack(
+                    [_jnp.asarray(x) for x in vals])).mean())
+            except Exception:
+                return float(np.mean([float(x) for x in vals]))
+
+        means = {k: _mean(v) for k, v in self._acc.items()}
         self._acc.clear()
         rec = {"step": step, **means, **(extra or {}),
                "time": time.time()}
@@ -148,10 +158,12 @@ class Trainer:
             step += 1
             ips = 1.0 / max(time.time() - t_last, 1e-9)
             t_last = time.time()
-            self.logger.log(step, metrics,
-                            {"lr": float(self.schedule(step)) if callable(
-                                self.schedule) else self.schedule,
-                             "iters_per_s": ips})
+            extra = None
+            if step % self.logger.interval == 0:
+                extra = {"lr": float(self.schedule(step)) if callable(
+                    self.schedule) else self.schedule,
+                    "iters_per_s": ips}
+            self.logger.log(step, metrics, extra)
             if eval_fn and eval_interval and step % eval_interval == 0:
                 last_eval = eval_fn(state.params)
                 print(f"[eval @ {step}] {last_eval}", flush=True)

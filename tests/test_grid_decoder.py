@@ -26,13 +26,14 @@ def _net(non_local=True, local_size=2):
         non_local_attn=non_local, local_size=local_size))
 
 
-@pytest.mark.parametrize("scale", [1, 2, 3, 4, 6])
+@pytest.mark.parametrize("scale", [1, 2, 3, 4, 6, 12, 30])
 def test_grid_matches_gather(rng, scale):
     net = _net()
-    x = jnp.asarray(rng.random((2, 10, 9, 3), dtype=np.float32))
+    hw = (10, 9) if scale <= 6 else (5, 4)  # OOD scales: tiny LR grid
+    x = jnp.asarray(rng.random((2, *hw, 3), dtype=np.float32))
     params = net.init(jax.random.PRNGKey(0), x, jnp.zeros((2, 8, 2)),
                       jnp.full((2, 8, 2), 0.1))
-    th, tw = 10 * scale, 9 * scale
+    th, tw = hw[0] * scale, hw[1] * scale
     coord, cell = make_coord_cell((th, tw))
     coord_b = jnp.broadcast_to(coord[None], (2, th * tw, 2))
     cell_b = jnp.broadcast_to(cell[None], (2, th * tw, 2))

@@ -9,7 +9,6 @@ import numpy as np
 import pytest
 import torch
 
-import jax
 import jax.numpy as jnp
 
 from ciaosr_tpu.core.coords import make_coord_cell

@@ -31,7 +31,6 @@ def main():
     params = load_torch_checkpoint(args.checkpoint, cfg.model)
 
     if args.validate:
-        import jax
         import jax.numpy as jnp
         import ciaosr_tpu.models.restorers  # noqa: F401
         import ciaosr_tpu.models.real_restorer  # noqa: F401

@@ -193,7 +193,7 @@ class CiaoSRNet(nn.Module):
         return rgb
 
     def query_rgb_grid(self, feature: jnp.ndarray, x: jnp.ndarray,
-                       scale: int, phase_group: int = 4) -> jnp.ndarray:
+                       scale: int, phase_group: int = 2) -> jnp.ndarray:
         """Dense full-grid decode for INTEGER scales — the TPU-first eval
         path. Returns (B, s·H, s·W, 3).
 

@@ -110,6 +110,10 @@ class CrossScaleAttention(nn.Module):
             if not self.average:
                 attn = (attn == jnp.max(attn, axis=-1, keepdims=True)
                         ).astype(attn.dtype)
+            # keep the (P,L) attention map in compute dtype: mixed-dtype
+            # einsum would upcast the patch bank and double HBM traffic
+            if self.dtype is not None:
+                attn = attn.astype(self.dtype)
 
             # reconstruction bank: s·3×3 patches of the embedding, stride s
             raw = extract_patches_same(embed, self.ksize * s, self.stride * s)

@@ -161,7 +161,7 @@ class RealCiaoSRRestorer(CiaoSRRestorer):
             return loss_real + loss_fake, (mut["batch_stats"], loss_real,
                                            loss_fake)
 
-        @jax.jit
+        @__import__("functools").partial(jax.jit, donate_argnums=(0,))
         def train_step(state: GANTrainState, batch: dict):
             step = state.step
 

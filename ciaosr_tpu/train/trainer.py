@@ -39,7 +39,8 @@ class TrainState:
 def make_train_step(restorer, tx) -> Callable:
     """Build the jit'd L1 train step (ciaosr.py:60-109 semantics)."""
 
-    @jax.jit
+    # donate the state: optimizer/param buffers are updated in place
+    @__import__("functools").partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params):
             loss, _ = restorer.train_forward(

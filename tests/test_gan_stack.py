@@ -162,11 +162,13 @@ def test_gan_train_step_and_ema(rng):
             rng.uniform(-0.9, 0.9, (b, q, 2)).astype(np.float32)),
         "cell": jnp.full((b, q, 2), 2.0 / 32, jnp.float32),
     }
+    # the step donates its input state — snapshot compared values first
+    g0 = np.asarray(jax.tree.leaves(state.g_params)[0])
+    d0 = np.asarray(jax.tree.leaves(state.d_vars["params"])[0])
     s1, m1 = step_fn(state, batch)
     assert np.isfinite(m1["loss_pix"]) and np.isfinite(m1["loss_gan"])
     assert np.isfinite(m1["loss_d_real"]) and np.isfinite(m1["loss_d_fake"])
     # G updated, D updated, EMA moved toward new params
-    g0 = jax.tree.leaves(state.g_params)[0]
     g1 = jax.tree.leaves(s1.g_params)[0]
     assert not np.allclose(g0, g1)
     e1 = jax.tree.leaves(s1.ema_params)[0]
@@ -181,12 +183,15 @@ def test_gan_train_step_and_ema(rng):
         gan_loss=dict(type="GANLoss", gan_type="vanilla", loss_weight=0.1),
         train_cfg=dict(disc_steps=1, disc_init_steps=5))
     step_fn2 = restorer2.make_gan_train_step(g_tx, d_tx)
-    s2, m2 = step_fn2(state, batch)
+    state2 = restorer2.init_gan_state(jax.random.PRNGKey(0), g_tx, d_tx,
+                                      lq_shape=(1, hw, hw, 3), n_queries=q)
+    g0b = np.asarray(jax.tree.leaves(state2.g_params)[0])
+    d0b = np.asarray(jax.tree.leaves(state2.d_vars["params"])[0])
+    s2, m2 = step_fn2(state2, batch)
     g2 = jax.tree.leaves(s2.g_params)[0]
-    assert np.allclose(g0, g2)  # gated out
-    d0 = jax.tree.leaves(state.d_vars["params"])[0]
+    assert np.allclose(g0b, g2)  # gated out
     d2 = jax.tree.leaves(s2.d_vars["params"])[0]
-    assert not np.allclose(d0, d2)  # D still learns
+    assert not np.allclose(d0b, d2)  # D still learns
 
 
 def test_ema_inference_path(rng):

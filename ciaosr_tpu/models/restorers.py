@@ -116,7 +116,11 @@ class CiaoSRRestorer:
             def run(params, lq):
                 lq_n = (lq - self.rgb_mean) / self.rgb_std
                 feature = gen.apply(params, lq_n, method="gen_feature")
-                img = gen.apply(params, feature, lq_n, scale,
+                # batched tiles multiply decoder activations by B — shrink
+                # the phase group to keep peak memory ~constant
+                # (B=2/pg=2 is the measured sweet spot on v5e)
+                pg = 2 if lq.shape[0] <= 2 else 1
+                img = gen.apply(params, feature, lq_n, scale, pg,
                                 method="query_rgb_grid")
                 img = img * self.rgb_std + self.rgb_mean
                 return jnp.clip(img, 0.0, 1.0)
@@ -155,6 +159,43 @@ class CiaoSRRestorer:
                   jnp.asarray(cell[None]))
         return np.asarray(pred[0, :q]).reshape(th, tw, 3)
 
+    def _tiled_group_fn(self, tile: int, scale: int):
+        """One jitted call per tile group: dense-grid decode of the batch +
+        on-device overlap-add (positions as traced args — one program for
+        every group and image)."""
+        key = ("tgroup", tile, scale)
+        if key not in self._jit_cache:
+            gen = self.generator
+            out_t = tile * scale
+
+            @jax.jit
+            def run(params, acc, cnt, lq_tiles, ys, xs, mask):
+                lq_n = (lq_tiles - self.rgb_mean) / self.rgb_std
+                feature = gen.apply(params, lq_n, method="gen_feature")
+                pg = 2 if lq_tiles.shape[0] <= 2 else 1
+                img = gen.apply(params, feature, lq_n, scale, pg,
+                                method="query_rgb_grid")
+                img = jnp.clip(img * self.rgb_std + self.rgb_mean, 0.0, 1.0)
+
+                def body(j, carry):
+                    a, c = carry
+                    m = mask[j]
+                    patch = jax.lax.dynamic_slice(
+                        a, (ys[j], xs[j], 0), (out_t, out_t, 3))
+                    a = jax.lax.dynamic_update_slice(
+                        a, patch + img[j] * m, (ys[j], xs[j], 0))
+                    cpatch = jax.lax.dynamic_slice(
+                        c, (ys[j], xs[j], 0), (out_t, out_t, 1))
+                    c = jax.lax.dynamic_update_slice(
+                        c, cpatch + m, (ys[j], xs[j], 0))
+                    return a, c
+
+                return jax.lax.fori_loop(0, lq_tiles.shape[0], body,
+                                         (acc, cnt))
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
     def predict_tiled(self, params, lq: np.ndarray, scale: int,
                       tile: int, tile_overlap: int = 32) -> np.ndarray:
         """Overlap-average tiling (clip_test, ciaosr.py:218-257) with
@@ -166,47 +207,35 @@ class CiaoSRRestorer:
         hs = sorted(set(list(range(0, h - tile, stride)) + [h - tile]))
         ws = sorted(set(list(range(0, w - tile, stride)) + [w - tile]))
         out_t = tile * scale
-        acc = np.zeros((h * scale, w * scale, 3), np.float64)
-        cnt = np.zeros((h * scale, w * scale, 1), np.float64)
+        # accumulate on DEVICE: per-tile predictions never cross the host
+        # link (only the final image does)
+        acc = jnp.zeros((h * scale, w * scale, 3), jnp.float32)
+        cnt = jnp.zeros((h * scale, w * scale, 1), jnp.float32)
 
         tiles = [(hi, wi) for hi in hs for wi in ws]
-        batch = []
-        coords = []
-        q = out_t * out_t
-        chunk = min(self.eval_bsize or q, q)
-        q_pad = _ceil_to(q, chunk)
-        coord, cell = make_coord_cell((out_t, out_t))
-        coord = np.asarray(coord)
-        cell = np.asarray(cell)
-        if q_pad > q:
-            coord = np.concatenate(
-                [coord, np.zeros((q_pad - q, 2), np.float32)], 0)
-            cell = np.concatenate(
-                [cell, np.full((q_pad - q, 2), 0.5, np.float32)], 0)
-        fn = self._predict_fn(tile, tile, q_pad, chunk)
+        tb = int(self.test_cfg.get("tile_batch", 2)) if hasattr(
+            self.test_cfg, "get") else 2
 
-        tb = int(self.test_cfg.get("tile_batch", 8)) if hasattr(
-            self.test_cfg, "get") else 8
+        # integer-scale tiles ride the dense-grid fast path, batched; one
+        # jitted call per group does decode + on-device overlap-add
+        group_fn = self._tiled_group_fn(tile, scale)
+
         for i in range(0, len(tiles), tb):
             group = tiles[i:i + tb]
-            lq_tiles = np.stack(
-                [lq[hi:hi + tile, wi:wi + tile] for hi, wi in group])
             n = len(group)
-            if n < tb and len(tiles) > tb:
-                lq_tiles = np.concatenate(
-                    [lq_tiles, np.zeros((tb - n, tile, tile, 3),
-                                        np.float32)], 0)
-            cb = np.broadcast_to(coord[None], (lq_tiles.shape[0], q_pad, 2))
-            eb = np.broadcast_to(cell[None], (lq_tiles.shape[0], q_pad, 2))
-            pred = np.asarray(fn(params, jnp.asarray(lq_tiles),
-                                 jnp.asarray(cb), jnp.asarray(eb)))
-            for j, (hi, wi) in enumerate(group):
-                img = pred[j, :q].reshape(out_t, out_t, 3)
-                acc[hi * scale:hi * scale + out_t,
-                    wi * scale:wi * scale + out_t] += img
-                cnt[hi * scale:hi * scale + out_t,
-                    wi * scale:wi * scale + out_t] += 1.0
-        return (acc / cnt).astype(np.float32)
+            pad = tb - n if (n < tb and len(tiles) > tb) else 0
+            lq_tiles = np.stack(
+                [lq[hi:hi + tile, wi:wi + tile] for hi, wi in group]
+                + [np.zeros((tile, tile, 3), np.float32)] * pad)
+            ys = np.asarray([hi * scale for hi, _ in group]
+                            + [0] * pad, np.int32)
+            xs = np.asarray([wi * scale for _, wi in group]
+                            + [0] * pad, np.int32)
+            mask = np.asarray([1.0] * n + [0.0] * pad, np.float32)
+            acc, cnt = group_fn(params, acc, cnt, jnp.asarray(lq_tiles),
+                                jnp.asarray(ys), jnp.asarray(xs),
+                                jnp.asarray(mask))
+        return np.asarray(acc / cnt).astype(np.float32)
 
     def forward_test(self, params, lq: np.ndarray, target_shape=None,
                      scale: int | None = None) -> np.ndarray:

@@ -58,6 +58,22 @@ def main():
     with open(os.path.join(work_dir, "config_dump.py"), "w") as f:
         f.write(cfg.text)
 
+    # environment dump (reference collect_env, tools/train.py:126-134)
+    import platform
+    import jax as _jax
+    env = {
+        "python": platform.python_version(),
+        "platform": platform.platform(),
+        "jax": _jax.__version__,
+        "backend": _jax.default_backend(),
+        "devices": [str(d) for d in _jax.devices()],
+        "process_count": _jax.process_count(),
+    }
+    print("Environment:", env, flush=True)
+    import json as _json
+    with open(os.path.join(work_dir, "env.json"), "w") as f:
+        _json.dump(env, f, indent=2)
+
     if args.autoscale_lr:
         cfg.optimizers = dict(cfg.optimizers)
         cfg.optimizers["lr"] = cfg.optimizers["lr"] * jax.device_count() / 8

@@ -39,9 +39,9 @@ def main():
                                   lq_shape=(1, 48, 48, 3), n_queries=2304)
 
     rng = np.random.default_rng(0)
-    # batch of 4 tiles — the tiled-eval working set (large images tile
-    # into many 192-LR tiles; the reference processes them sequentially,
-    # we batch them)
+    # two-tile batch = the tiled-eval engine's default working set (large
+    # images tile into many 192-LR tiles; the reference processes them
+    # sequentially, we batch them through the fused decoder kernel)
     tb = 2
     lq = jnp.asarray(rng.random((tb, LQ_TILE, LQ_TILE, 3),
                                 dtype=np.float32))

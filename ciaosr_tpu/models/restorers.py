@@ -37,6 +37,7 @@ class CiaoSRRestorer:
     """
 
     allowed_metrics = {"PSNR": psnr, "SSIM": ssim}
+    batch_keys = ("lq", "gt", "coord", "cell")
 
     def __init__(self, generator: dict, rgb_mean=(0.4488, 0.4371, 0.4040),
                  rgb_std=(1.0, 1.0, 1.0), pixel_loss: dict | None = None,
@@ -116,12 +117,16 @@ class CiaoSRRestorer:
             def run(params, lq):
                 lq_n = (lq - self.rgb_mean) / self.rgb_std
                 feature = gen.apply(params, lq_n, method="gen_feature")
-                # batched tiles multiply decoder activations by B — shrink
-                # the phase group to keep peak memory ~constant
-                # (B=2/pg=2 is the measured sweet spot on v5e)
-                pg = 2 if lq.shape[0] <= 2 else 1
-                img = gen.apply(params, feature, lq_n, scale, pg,
-                                method="query_rgb_grid")
+                if gen.use_pallas:
+                    img = gen.apply(params, feature, lq_n, scale,
+                                    method="query_rgb_grid_pallas")
+                else:
+                    # batched tiles multiply decoder activations by B —
+                    # shrink the phase group to keep peak memory constant
+                    # (B=2/pg=2 is the measured XLA sweet spot on v5e)
+                    pg = 2 if lq.shape[0] <= 2 else 1
+                    img = gen.apply(params, feature, lq_n, scale, pg,
+                                    method="query_rgb_grid")
                 img = img * self.rgb_std + self.rgb_mean
                 return jnp.clip(img, 0.0, 1.0)
 
@@ -172,9 +177,13 @@ class CiaoSRRestorer:
             def run(params, acc, cnt, lq_tiles, ys, xs, mask):
                 lq_n = (lq_tiles - self.rgb_mean) / self.rgb_std
                 feature = gen.apply(params, lq_n, method="gen_feature")
-                pg = 2 if lq_tiles.shape[0] <= 2 else 1
-                img = gen.apply(params, feature, lq_n, scale, pg,
-                                method="query_rgb_grid")
+                if gen.use_pallas:
+                    img = gen.apply(params, feature, lq_n, scale,
+                                    method="query_rgb_grid_pallas")
+                else:
+                    pg = 2 if lq_tiles.shape[0] <= 2 else 1
+                    img = gen.apply(params, feature, lq_n, scale, pg,
+                                    method="query_rgb_grid")
                 img = jnp.clip(img * self.rgb_std + self.rgb_mean, 0.0, 1.0)
 
                 def body(j, carry):
@@ -266,3 +275,61 @@ class CiaoSRRestorer:
             results[name] = fn(out_img, gt_img, crop_border=crop_border,
                                convert_to=convert_to)
         return results
+
+
+@MODELS.register(name="BasicRestorer")
+class BasicRestorer:
+    """Generic fixed-scale SR restorer (basic_restorer.py:17-237): wraps
+    any lq→sr generator (EDSRNet/RDNNet, models/basic_sr.py) with the L1
+    training objective, the PSNR/SSIM eval protocol, and the window-pad
+    ``clip_generator`` test path (:175-191)."""
+
+    allowed_metrics = {"PSNR": psnr, "SSIM": ssim}
+    batch_keys = ("lq", "gt")
+
+    def __init__(self, generator: dict, pixel_loss: dict | None = None,
+                 train_cfg: Any = None, test_cfg: Any = None):
+        from ciaosr_tpu.config.registry import BACKBONES, build_from_cfg
+        import ciaosr_tpu.models.basic_sr  # noqa: F401 (registry)
+
+        self.generator = build_from_cfg(dict(generator), BACKBONES)
+        self.pixel_loss_cfg = pixel_loss
+        self.train_cfg = train_cfg
+        self.test_cfg = test_cfg or {}
+        self._jit_cache: dict = {}
+
+    def init_params(self, rng, lq_shape=(1, 48, 48, 3), **_):
+        return jax.jit(self.generator.init)(
+            rng, jnp.zeros(lq_shape, jnp.float32))
+
+    def train_forward(self, params, lq, gt):
+        """L1 objective on full images (basic_restorer.py:205-224)."""
+        pred = self.generator.apply(params, lq)
+        return jnp.mean(jnp.abs(pred - gt)), pred
+
+    def _sr_fn(self, h: int, w: int):
+        key = ("sr", h, w)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda params, lq: jnp.clip(
+                    self.generator.apply(params, lq), 0.0, 1.0))
+        return self._jit_cache[key]
+
+    def predict(self, params, lq: np.ndarray, target_shape=None):
+        """lq (H,W,3) → sr; reflect-pads H,W to the generator's window
+        multiple and crops the output back (clip_generator semantics)."""
+        h, w = lq.shape[:2]
+        win = int(self.test_cfg.get("window_size", 1) or 1)
+        ph, pw = _ceil_to(h, win), _ceil_to(w, win)
+        if (ph, pw) != (h, w):
+            lq = np.pad(lq, ((0, ph - h), (0, pw - w), (0, 0)),
+                        mode="reflect")
+        sr = self._sr_fn(ph, pw)(params, jnp.asarray(lq[None]))[0]
+        s = int(getattr(self.generator, "upscale_factor", 1))
+        return np.asarray(sr[:h * s, :w * s])
+
+    def forward_test(self, params, lq: np.ndarray, target_shape=None,
+                     scale=None):
+        return self.predict(params, lq)
+
+    evaluate = CiaoSRRestorer.evaluate

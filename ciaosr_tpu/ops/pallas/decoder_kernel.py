@@ -1,6 +1,6 @@
 """Fused CiaoSR grid-decoder kernel (Pallas/Mosaic, TPU).
 
-Fuses, per (phase, row-block) grid instance, the entire per-pixel decoder
+Fuses, per (image, phase, row-block) grid instance, the entire per-pixel decoder
 of query_rgb_grid (models/ciaosr.py): for all S local-ensemble shifts the
 imnet_k / imnet_v modulation MLPs (ciaosr_net.py:195-206), the key-query
 logits, the softmax local ensemble (:211-215), the value blend, and the
@@ -59,8 +59,8 @@ def _decode_kernel(sel_ref, u_refs, v_refs, q_ref, rely_ref, relx_ref,
 
         # first layers with decomposed rel terms. rely lives in SMEM
         # (scalar reads per image row); relx is a full VMEM lane row.
-        p_idx = pl.program_id(0)
-        i_blk = pl.program_id(1)
+        p_idx = pl.program_id(1)
+        i_blk = pl.program_id(2)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
         rel_y_map = jnp.zeros((rows, width), jnp.float32)
         for r in range(rows):
@@ -109,12 +109,13 @@ def _decode_kernel(sel_ref, u_refs, v_refs, q_ref, rely_ref, relx_ref,
 
 
 def _shift_planes(t: jnp.ndarray) -> jnp.ndarray:
-    """(B=1,H,W,C) → (9,H,W,C): edge-clamped shifts, plane (dy+1)*3+(dx+1)."""
-    _, h, w, _ = t.shape
+    """(B,H,W,C) → (B*9,H,W,C): edge-clamped shifts; image b's plane for
+    shift (dy,dx) lives at index b*9 + (dy+1)*3 + (dx+1)."""
+    b, h, w, c = t.shape
     p = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    planes = [p[0, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w, :]
+    planes = [p[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w, :]
               for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    return jnp.stack(planes)
+    return jnp.stack(planes, axis=1).reshape(b * 9, h, w, c)
 
 
 def _split_first_layer(params, main_dim):
@@ -163,14 +164,15 @@ def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
     """Run the fused decoder over all phases.
 
-    u_map: (1,H,W,DK) unfolded features (bf16 ok); v_map: (1,H,W,DV);
+    u_map: (B,H,W,DK) unfolded features (bf16 ok); v_map: (B,H,W,DV);
     params: generator params dict with imnet_k/v/q subtrees.
-    Returns (s², H, W, 3) float32 phase images (pre-residual).
+    Returns (B·s², H, W, 3) float32 phase images (pre-residual), image-major
+    (image b's phase p at index b·s² + p).
     """
     from ciaosr_tpu.models.ciaosr import shift_offsets
 
     s = int(scale)
-    _, h, w, dk = u_map.shape
+    bsz, h, w, dk = u_map.shape
     dv = v_map.shape[-1]
     shifts = shift_offsets(local_size)
     n_shift = len(shifts)
@@ -226,21 +228,24 @@ def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_phase, n_blocks),
+        grid=(bsz, n_phase, n_blocks),
         in_specs=[
             *[pl.BlockSpec((1, rows, w, dk),
-                           (lambda p, i, sref, s_=si: (sref[p, s_], i, 0, 0)))
+                           (lambda b, p, i, sref, s_=si:
+                            (b * 9 + sref[p, s_], i, 0, 0)))
               for si in range(n_shift)],
             *[pl.BlockSpec((1, rows, w, dv),
-                           (lambda p, i, sref, s_=si: (sref[p, s_], i, 0, 0)))
+                           (lambda b, p, i, sref, s_=si:
+                            (b * 9 + sref[p, s_], i, 0, 0)))
               for si in range(n_shift)],
-            pl.BlockSpec((1, rows, w, dk), lambda p, i, sref: (0, i, 0, 0)),
+            pl.BlockSpec((1, rows, w, dk), lambda b, p, i, sref: (b, i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # rely (P,S,H)
-            pl.BlockSpec((1, n_shift, w), lambda p, i, sref: (p, 0, 0)),
+            pl.BlockSpec((1, n_shift, w), lambda b, p, i, sref: (p, 0, 0)),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w_names],
         ],
         out_specs=pl.BlockSpec((1, rows, w, 128),
-                               lambda p, i, sref: (p, i, 0, 0)),
+                               lambda b, p, i, sref: (b * n_phase + p, i,
+                                                      0, 0)),
     )
 
     def kernel(sel_ref, *refs):
@@ -260,18 +265,20 @@ def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
     mlp_flops = (dk * 256 + (n_hidden - 1) * 256 * 256 + 256 * dk
                  + dv * 256 + (n_hidden - 1) * 256 * 256 + 256 * dv)
     cost = pl.CostEstimate(
-        flops=2 * n_phase * h * w * (n_shift * mlp_flops
-                                     + dv * 256 + (n_hidden - 1) * 65536),
-        bytes_accessed=n_phase * h * w * (dk + dv) * 2 * (n_shift + 1),
-        transcendentals=n_phase * h * w * n_shift)
+        flops=2 * bsz * n_phase * h * w * (n_shift * mlp_flops
+                                           + dv * 256
+                                           + (n_hidden - 1) * 65536),
+        bytes_accessed=bsz * n_phase * h * w * (dk + dv) * 2 * (n_shift + 1),
+        transcendentals=bsz * n_phase * h * w * n_shift)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_phase, h, w, 128),
+        out_shape=jax.ShapeDtypeStruct((bsz * n_phase, h, w, 128),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=cost,
         interpret=interpret,
     )(jnp.asarray(sel), *([u9] * n_shift), *([v9] * n_shift), query,

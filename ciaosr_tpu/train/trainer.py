@@ -39,13 +39,14 @@ class TrainState:
 def make_train_step(restorer, tx) -> Callable:
     """Build the jit'd L1 train step (ciaosr.py:60-109 semantics)."""
 
+    keys = getattr(restorer, "batch_keys", ("lq", "gt", "coord", "cell"))
+
     # donate the state: optimizer/param buffers are updated in place
     @__import__("functools").partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params):
             loss, _ = restorer.train_forward(
-                params, batch["lq"], batch["gt"], batch["coord"],
-                batch["cell"])
+                params, *[batch[k] for k in keys])
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

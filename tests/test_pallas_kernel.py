@@ -18,9 +18,10 @@ from ciaosr_tpu.ops.pallas.decoder_kernel import grid_decode_fused
 from ciaosr_tpu.ops.sampling import interpolate_bilinear
 
 
-@pytest.mark.parametrize("scale,non_local", [(2, True), (3, True),
-                                             (4, False)])
-def test_fused_kernel_matches_grid_path(rng, scale, non_local):
+@pytest.mark.parametrize("scale,non_local,batch", [(2, True, 1),
+                                                   (3, True, 2),
+                                                   (4, False, 1)])
+def test_fused_kernel_matches_grid_path(rng, scale, non_local, batch):
     net = build_generator(dict(
         type="LocalImplicitSRRDN",
         encoder=dict(type="RDN", in_channels=3, mid_channels=16,
@@ -29,9 +30,9 @@ def test_fused_kernel_matches_grid_path(rng, scale, non_local):
         imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[32, 32]),
         imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[32, 32]),
         non_local_attn=non_local))
-    x = jnp.asarray(rng.random((1, 8, 10, 3), dtype=np.float32))
-    params = net.init(jax.random.PRNGKey(0), x, jnp.zeros((1, 8, 2)),
-                      jnp.full((1, 8, 2), 0.1))
+    x = jnp.asarray(rng.random((batch, 8, 10, 3), dtype=np.float32))
+    params = net.init(jax.random.PRNGKey(0), x, jnp.zeros((batch, 8, 2)),
+                      jnp.full((batch, 8, 2), 0.1))
     feat = net.apply(params, x, method="gen_feature")
     ref = net.apply(params, feat, x, scale, method="query_rgb_grid")
 
@@ -47,8 +48,36 @@ def test_fused_kernel_matches_grid_path(rng, scale, non_local):
                                local_size=2, softmax_scale=1.0, rows=2,
                                interpret=True)
     h, w = 8, 10
-    img = phases.reshape(scale, scale, h, w, 3).transpose(
-        2, 0, 3, 1, 4).reshape(scale * h, scale * w, 3)
-    img = img + interpolate_bilinear(x, scale * h, scale * w)[0]
-    np.testing.assert_allclose(np.asarray(img), np.asarray(ref[0]),
+    img = phases.reshape(batch, scale, scale, h, w, 3).transpose(
+        0, 3, 1, 4, 2, 5).reshape(batch, scale * h, scale * w, 3)
+    img = img + interpolate_bilinear(x, scale * h, scale * w)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
                                atol=2e-3, rtol=1e-2)
+
+
+def test_restorer_pallas_routing(rng):
+    """use_pallas generators route single-image grid decodes through the
+    fused kernel (interpret mode on CPU) and match the XLA grid path."""
+    from ciaosr_tpu.models.restorers import CiaoSRRestorer
+    gen = dict(type="LocalImplicitSREDSR",
+               encoder=dict(type="EDSR", in_channels=3, mid_channels=16,
+                            num_blocks=2),
+               imnet_q=dict(type="MLPRefiner", out_dim=3,
+                            hidden_list=[32, 32]),
+               imnet_k=dict(type="MLPRefiner", out_dim=1,
+                            hidden_list=[32, 32]),
+               imnet_v=dict(type="MLPRefiner", out_dim=1,
+                            hidden_list=[32, 32]))
+    r_pallas = CiaoSRRestorer(generator=dict(gen, use_pallas=True),
+                              test_cfg=dict(metrics=["PSNR"], scale=2))
+    r_xla = CiaoSRRestorer(generator=gen,
+                           test_cfg=dict(metrics=["PSNR"], scale=2))
+    params = r_xla.init_params(jax.random.PRNGKey(0))
+    lq = rng.random((10, 12, 3), dtype=np.float32)
+    out_p = r_pallas.predict(params, lq, (20, 24))
+    out_x = r_xla.predict(params, lq, (20, 24))
+    np.testing.assert_allclose(out_p, out_x, atol=3e-3)
+    # tiled path: batched (tile_batch=2) kernel instances
+    tiled_p = r_pallas.predict_tiled(params, lq, 2, tile=8, tile_overlap=4)
+    tiled_x = r_xla.predict_tiled(params, lq, 2, tile=8, tile_overlap=4)
+    np.testing.assert_allclose(tiled_p, tiled_x, atol=3e-3)

@@ -6,13 +6,23 @@ Behavioral spec: the RDN-variant feature generator at
 64, 1×1 local fusion, local residual) → global fusion (1×1 then 3×3 over the
 concat of all block outputs) → + sfe1.
 
-TPU-first detail: dense-block convolutions over the growing channel concat
-are computed in slice-sum form — conv(concat(slices)) = Σ conv(slice) by
-linearity — so no concatenated activation is ever materialized. That
-removes the concat HBM traffic and the lane padding of the odd
-(1.5×/2.5×…·128)-channel intermediates: 2.4× faster per block on v5e.
-Parameter trees and numerics are identical to the naive form (and to the
-torch converter's layout).
+TPU-first details (numerics and parameter trees identical to the naive
+form and to the torch converter's layout):
+
+1. Slice-sum form — dense-block convolutions over the growing channel
+   concat satisfy conv(concat(slices)) = Σ conv(slice) by linearity, so no
+   concatenated activation is ever materialized (no concat HBM traffic, no
+   lane padding of odd-width intermediates): 2.4× faster per block on v5e.
+2. Layer pairing — every conv here has C_out = growth = 64, leaving half
+   of the MXU's 128 output lanes idle. Consecutive dense layers (i, i+1)
+   are computed as ONE 128-wide conv over the slices known at step i
+   (layer i's full kernel stacked with layer i+1's kernel head), then
+   layer i+1 is finished with a single small 64→64 conv from relu(y_i):
+     [pre_i | z] = conv(slices_≤i, [W_i ; W_{i+1}[:known]])
+     y_i     = relu(pre_i + b_i)
+     y_{i+1} = relu(z + conv(y_i, W_{i+1}[known:]) + b_{i+1})
+   Same FLOPs, but the big (K up to 9·512) matmuls run with all 128
+   lanes busy.
 """
 
 from __future__ import annotations
@@ -28,6 +38,27 @@ from ciaosr_tpu.models.edsr import conv3x3
 from ciaosr_tpu.utils.init import torch_kernel_init, torch_bias_init
 
 
+def _conv_slices(slices: list[jnp.ndarray], kernel: jnp.ndarray,
+                 dtype) -> jnp.ndarray:
+    """Σ_j conv(slice_j, kernel[channel-slice j]) — conv over a channel
+    concat without materializing it. No bias."""
+    k = kernel.shape[0]
+    cdt = dtype or slices[0].dtype
+    pad = k // 2
+    acc = None
+    offset = 0
+    for s in slices:
+        w = kernel[:, :, offset:offset + s.shape[-1], :]
+        offset += s.shape[-1]
+        y = jax.lax.conv_general_dilated(
+            s.astype(cdt), w.astype(cdt), (1, 1),
+            ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=cdt)
+        acc = y if acc is None else acc + y
+    return acc
+
+
 class SliceSumConv(nn.Module):
     """Conv over a list of channel slices without concatenation.
 
@@ -41,27 +72,19 @@ class SliceSumConv(nn.Module):
     kernel_size: int = 3
     dtype: typing.Any = None
 
-    @nn.compact
-    def __call__(self, slices: list[jnp.ndarray]) -> jnp.ndarray:
+    def setup(self):
         k = self.kernel_size
-        kernel = self.param("kernel", torch_kernel_init,
-                            (k, k, self.in_channels, self.features))
-        bias = self.param("bias", torch_bias_init(self.in_channels * k * k),
-                          (self.features,))
+        self.kernel = self.param(
+            "kernel", torch_kernel_init,
+            (k, k, self.in_channels, self.features))
+        self.bias = self.param(
+            "bias", torch_bias_init(self.in_channels * k * k),
+            (self.features,))
+
+    def __call__(self, slices: list[jnp.ndarray]) -> jnp.ndarray:
         cdt = self.dtype or slices[0].dtype
-        pad = k // 2
-        acc = None
-        offset = 0
-        for s in slices:
-            w = kernel[:, :, offset:offset + s.shape[-1], :]
-            offset += s.shape[-1]
-            y = jax.lax.conv_general_dilated(
-                s.astype(cdt), w.astype(cdt), (1, 1),
-                ((pad, pad), (pad, pad)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=cdt)
-            acc = y if acc is None else acc + y
-        return acc + bias.astype(cdt)
+        return (_conv_slices(slices, self.kernel, self.dtype)
+                + self.bias.astype(cdt))
 
 
 class ResidualDenseBlock(nn.Module):
@@ -70,20 +93,47 @@ class ResidualDenseBlock(nn.Module):
     num_layers: int = 8
     dtype: typing.Any = None
 
-    @nn.compact
+    def setup(self):
+        in_ch = self.mid_channels
+        self.layers = [
+            SliceSumConv(self.channel_growth,
+                         in_ch + i * self.channel_growth, dtype=self.dtype)
+            for i in range(self.num_layers)]
+        self.lff = SliceSumConv(
+            self.mid_channels,
+            in_ch + self.num_layers * self.channel_growth,
+            kernel_size=1, dtype=self.dtype)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cdt = self.dtype or x.dtype
+        g = self.channel_growth
         slices = [x]
-        in_ch = x.shape[-1]
-        for i in range(self.num_layers):
-            y = SliceSumConv(self.channel_growth,
-                             in_ch + i * self.channel_growth,
-                             dtype=self.dtype, name=f"layers_{i}")(slices)
-            slices.append(nn.relu(y))
-        lff = SliceSumConv(self.mid_channels,
-                           in_ch + self.num_layers * self.channel_growth,
-                           kernel_size=1, dtype=self.dtype,
-                           name="lff")(slices)
-        return x + lff.astype(x.dtype)
+        i = 0
+        while i < self.num_layers:
+            la = self.layers[i]
+            if i + 1 < self.num_layers:
+                # paired: one 2g-wide conv over the slices known now ...
+                lb = self.layers[i + 1]
+                known = la.kernel.shape[2]
+                joint = _conv_slices(
+                    slices,
+                    jnp.concatenate([la.kernel, lb.kernel[:, :, :known, :]],
+                                    axis=-1),
+                    self.dtype)
+                y_a = nn.relu(joint[..., :g] + la.bias.astype(cdt))
+                # ... then finish layer i+1 from relu(y_i) alone
+                z = joint[..., g:]
+                y_b = nn.relu(z
+                              + _conv_slices([y_a],
+                                             lb.kernel[:, :, known:, :],
+                                             self.dtype)
+                              + lb.bias.astype(cdt))
+                slices.extend([y_a, y_b])
+                i += 2
+            else:
+                slices.append(nn.relu(la(slices)))
+                i += 1
+        return x + self.lff(slices).astype(x.dtype)
 
 
 @BACKBONES.register(name="RDN")

@@ -223,7 +223,8 @@ class CiaoSRNet(nn.Module):
 
         u_map = unfold_nhwc(feature) if self.feat_unfold else feature
         if self.non_local_attn:
-            v_map = jnp.concatenate([u_map, self.cs_attn(feature)], axis=-1)
+            v_map = jnp.concatenate(
+                [u_map, self.cs_attn(feature, flash=True)], axis=-1)
         else:
             v_map = u_map
         u_map = u_map.astype(cdt)
@@ -342,7 +343,8 @@ class CiaoSRNet(nn.Module):
         b, h, w, _ = feature.shape
         u_map = unfold_nhwc(feature) if self.feat_unfold else feature
         if self.non_local_attn:
-            v_map = jnp.concatenate([u_map, self.cs_attn(feature)], axis=-1)
+            v_map = jnp.concatenate(
+                [u_map, self.cs_attn(feature, flash=True)], axis=-1)
         else:
             v_map = u_map
         params = {"imnet_k": self.imnet_k.variables["params"],

@@ -65,7 +65,10 @@ class CrossScaleAttention(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, flash: bool = False) -> jnp.ndarray:
+        """flash=True fuses correlation→softmax→reconstruction in a Pallas
+        online-softmax kernel (ops/pallas/csa_attention.py) — forward-only;
+        eval paths opt in, training keeps the differentiable einsum path."""
         b, h, w, c = x.shape
         cr = self.channels // self.reduction
 
@@ -104,21 +107,29 @@ class CrossScaleAttention(nn.Module):
 
             # correlation: every full-res neighborhood vs every ref patch
             x_nb = extract_patches_same(match, self.ksize, self.stride)
-            corr = jnp.einsum("bpk,blk->bpl", x_nb, w_normed,
-                              preferred_element_type=jnp.float32)
-            attn = nn.softmax(corr * self.softmax_scale, axis=-1)
-            if not self.average:
-                attn = (attn == jnp.max(attn, axis=-1, keepdims=True)
-                        ).astype(attn.dtype)
-            # keep the (P,L) attention map in compute dtype: mixed-dtype
-            # einsum would upcast the patch bank and double HBM traffic
-            if self.dtype is not None:
-                attn = attn.astype(self.dtype)
-
             # reconstruction bank: s·3×3 patches of the embedding, stride s
             raw = extract_patches_same(embed, self.ksize * s, self.stride * s)
-            k_maps = jnp.einsum("bpl,blk->bpk", attn, raw,
-                                preferred_element_type=jnp.float32)
+
+            if flash and self.average:
+                import jax
+                from ciaosr_tpu.ops.pallas.csa_attention import csa_attention
+                k_maps = csa_attention(
+                    x_nb, w_normed, raw, self.softmax_scale,
+                    out_dtype=self.dtype or jnp.float32,
+                    interpret=jax.default_backend() == "cpu")
+            else:
+                corr = jnp.einsum("bpk,blk->bpl", x_nb, w_normed,
+                                  preferred_element_type=jnp.float32)
+                attn = nn.softmax(corr * self.softmax_scale, axis=-1)
+                if not self.average:
+                    attn = (attn == jnp.max(attn, axis=-1, keepdims=True)
+                            ).astype(attn.dtype)
+                # keep the (P,L) attention map in compute dtype: mixed-dtype
+                # einsum would upcast the bank and double HBM traffic
+                if self.dtype is not None:
+                    attn = attn.astype(self.dtype)
+                k_maps = jnp.einsum("bpl,blk->bpk", attn, raw,
+                                    preferred_element_type=jnp.float32)
             y = _overlap_add(k_maps, hp, wp, s, self.channels)
 
             # strided conv back to input resolution (arch_csnln.py:423-428)

@@ -81,3 +81,18 @@ def test_restorer_pallas_routing(rng):
     tiled_p = r_pallas.predict_tiled(params, lq, 2, tile=8, tile_overlap=4)
     tiled_x = r_xla.predict_tiled(params, lq, 2, tile=8, tile_overlap=4)
     np.testing.assert_allclose(tiled_p, tiled_x, atol=3e-3)
+
+
+@pytest.mark.parametrize("p,l", [(100, 25), (256, 512), (37, 130)])
+def test_csa_attention_matches_softmax(rng, p, l):
+    from ciaosr_tpu.ops.pallas.csa_attention import csa_attention
+    dk, dv = 18, 36
+    q = jnp.asarray(rng.standard_normal((2, p, dk), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((2, l, dk), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((2, l, dv), dtype=np.float32))
+    ref = jnp.einsum("bpl,blk->bpk",
+                     jax.nn.softmax(jnp.einsum("bpk,blk->bpl", q, k) * 10.0,
+                                    axis=-1), v)
+    got = csa_attention(q, k, v, 10.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -24,13 +24,15 @@ def _save_png(path: str, img01: np.ndarray):
 
 
 def evaluate_dataset(restorer, params, dataset, save_path: str | None = None,
-                     log_every: int = 10, progress=print) -> dict:
+                     log_every: int = 10, progress=print,
+                     mesh=None) -> dict:
     """Run the eval protocol over a dataset; returns mean metrics.
 
     Work is sharded over processes by index stride (process i takes items
     i, i+P, ...), then all-gathered — the ICI/DCN equivalent of the
-    reference's gpu_collect path (tools/test.py:138-146).
-    """
+    reference's gpu_collect path (tools/test.py:138-146). ``mesh``
+    additionally shards each image's tile batch over local chips
+    (restorers.predict_tiled)."""
     nproc = jax.process_count()
     pid = jax.process_index()
 
@@ -47,7 +49,7 @@ def evaluate_dataset(restorer, params, dataset, save_path: str | None = None,
             target = gt.shape[:2]
         scale = meta.get("scale") or getattr(dataset, "scale", None)
         out = restorer.forward_test(params, lq, target_shape=target,
-                                    scale=scale)
+                                    scale=scale, mesh=mesh)
         rec = {"idx": idx}
         if gt is not None and gt.ndim == 3:
             rec.update(restorer.evaluate(out, gt))

@@ -242,10 +242,10 @@ class RealCiaoSRRestorer(CiaoSRRestorer):
 
     # ------------------------------------------------------------- eval --
     def forward_test(self, params_or_state, lq: np.ndarray,
-                     target_shape=None, scale=None) -> np.ndarray:
+                     target_shape=None, scale=None, mesh=None) -> np.ndarray:
         params = params_or_state
         if isinstance(params_or_state, GANTrainState):
             params = params_or_state.ema_params if self.is_use_ema \
                 else params_or_state.g_params
         return super().forward_test(params, lq, target_shape=target_shape,
-                                    scale=scale)
+                                    scale=scale, mesh=mesh)

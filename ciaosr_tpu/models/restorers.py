@@ -164,11 +164,13 @@ class CiaoSRRestorer:
                   jnp.asarray(cell[None]))
         return np.asarray(pred[0, :q]).reshape(th, tw, 3)
 
-    def _tiled_group_fn(self, tile: int, scale: int):
+    def _tiled_group_fn(self, tile: int, scale: int,
+                        allow_pallas: bool = True):
         """One jitted call per tile group: dense-grid decode of the batch +
         on-device overlap-add (positions as traced args — one program for
-        every group and image)."""
-        key = ("tgroup", tile, scale)
+        every group and image). allow_pallas=False keeps the XLA grid path
+        (auto-partitionable under a mesh; Mosaic kernels are not)."""
+        key = ("tgroup", tile, scale, allow_pallas)
         if key not in self._jit_cache:
             gen = self.generator
             out_t = tile * scale
@@ -177,7 +179,7 @@ class CiaoSRRestorer:
             def run(params, acc, cnt, lq_tiles, ys, xs, mask):
                 lq_n = (lq_tiles - self.rgb_mean) / self.rgb_std
                 feature = gen.apply(params, lq_n, method="gen_feature")
-                if gen.use_pallas:
+                if gen.use_pallas and allow_pallas:
                     img = gen.apply(params, feature, lq_n, scale,
                                     method="query_rgb_grid_pallas")
                 else:
@@ -206,10 +208,16 @@ class CiaoSRRestorer:
         return self._jit_cache[key]
 
     def predict_tiled(self, params, lq: np.ndarray, scale: int,
-                      tile: int, tile_overlap: int = 32) -> np.ndarray:
+                      tile: int, tile_overlap: int = 32,
+                      mesh=None) -> np.ndarray:
         """Overlap-average tiling (clip_test, ciaosr.py:218-257) with
         static tile shapes: every tile is (tile, tile) on the LR grid →
-        a single XLA program reused across tiles and images."""
+        a single XLA program reused across tiles and images.
+
+        With ``mesh`` (1-D, axis 'data'), tile groups shard across chips —
+        the spatial analogue of sequence parallelism (SURVEY.md §5.7):
+        each chip encodes/decodes its tiles, the overlap-add runs on the
+        replicated accumulator (tile outputs ride ICI once)."""
         h, w = lq.shape[:2]
         tile = min(tile, h, w)
         stride = tile - tile_overlap
@@ -225,14 +233,27 @@ class CiaoSRRestorer:
         tb = int(self.test_cfg.get("tile_batch", 2)) if hasattr(
             self.test_cfg, "get") else 2
 
+        tile_sh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n_dev = int(mesh.devices.size)
+            tb = max(1, tb // n_dev) * n_dev     # per-chip batch × chips
+            repl = NamedSharding(mesh, P())
+            tile_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+            params = jax.device_put(params, repl)
+            acc = jax.device_put(acc, repl)
+            cnt = jax.device_put(cnt, repl)
+
         # integer-scale tiles ride the dense-grid fast path, batched; one
         # jitted call per group does decode + on-device overlap-add
-        group_fn = self._tiled_group_fn(tile, scale)
+        group_fn = self._tiled_group_fn(tile, scale,
+                                        allow_pallas=mesh is None)
 
         for i in range(0, len(tiles), tb):
             group = tiles[i:i + tb]
             n = len(group)
-            pad = tb - n if (n < tb and len(tiles) > tb) else 0
+            pad = tb - n if (n < tb and (len(tiles) > tb or mesh is not None)
+                             ) else 0
             lq_tiles = np.stack(
                 [lq[hi:hi + tile, wi:wi + tile] for hi, wi in group]
                 + [np.zeros((tile, tile, 3), np.float32)] * pad)
@@ -241,13 +262,15 @@ class CiaoSRRestorer:
             xs = np.asarray([wi * scale for _, wi in group]
                             + [0] * pad, np.int32)
             mask = np.asarray([1.0] * n + [0.0] * pad, np.float32)
-            acc, cnt = group_fn(params, acc, cnt, jnp.asarray(lq_tiles),
+            lq_tiles = jnp.asarray(lq_tiles) if tile_sh is None else \
+                jax.device_put(lq_tiles, tile_sh)
+            acc, cnt = group_fn(params, acc, cnt, lq_tiles,
                                 jnp.asarray(ys), jnp.asarray(xs),
                                 jnp.asarray(mask))
         return np.asarray(acc / cnt).astype(np.float32)
 
     def forward_test(self, params, lq: np.ndarray, target_shape=None,
-                     scale: int | None = None) -> np.ndarray:
+                     scale: int | None = None, mesh=None) -> np.ndarray:
         """Reference forward_test dispatch (ciaosr.py:141-169): tiled when
         test_cfg.tile is set, otherwise full-image chunked prediction."""
         cfg = self.test_cfg
@@ -255,7 +278,8 @@ class CiaoSRRestorer:
         if tile:
             s = scale or cfg.get("scale")
             return self.predict_tiled(params, lq, int(s), int(tile),
-                                      int(cfg.get("tile_overlap", 32)))
+                                      int(cfg.get("tile_overlap", 32)),
+                                      mesh=mesh)
         if target_shape is None:
             s = scale or cfg.get("scale")
             target_shape = (round(lq.shape[0] * s), round(lq.shape[1] * s))
@@ -329,7 +353,7 @@ class BasicRestorer:
         return np.asarray(sr[:h * s, :w * s])
 
     def forward_test(self, params, lq: np.ndarray, target_shape=None,
-                     scale=None):
+                     scale=None, mesh=None):
         return self.predict(params, lq)
 
     evaluate = CiaoSRRestorer.evaluate

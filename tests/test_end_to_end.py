@@ -183,3 +183,29 @@ def test_config_loads_and_builds():
                 assert model.gan_loss is not None
                 assert model.discriminator is not None
                 assert cfg.load_from
+
+
+def test_sharded_tiled_eval_matches_single_device(rng):
+    """predict_tiled over an 8-device mesh (tile/'sequence' parallelism,
+    SURVEY.md §5.7) matches the single-device result."""
+    import jax
+    from ciaosr_tpu.models.restorers import CiaoSRRestorer
+    from ciaosr_tpu.parallel.mesh import make_mesh
+
+    r = CiaoSRRestorer(
+        generator=dict(
+            type="LocalImplicitSREDSR",
+            encoder=dict(type="EDSR", in_channels=3, mid_channels=8,
+                         num_blocks=1),
+            imnet_q=dict(type="MLPRefiner", out_dim=3, hidden_list=[16]),
+            imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]),
+            imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[16])),
+        test_cfg=dict(metrics=["PSNR"], scale=2, tile=8, tile_overlap=4,
+                      tile_batch=8))
+    params = r.init_params(jax.random.PRNGKey(0))
+    lq = rng.random((20, 24, 3), dtype=np.float32)
+    single = r.predict_tiled(params, lq, 2, tile=8, tile_overlap=4)
+    sharded = r.predict_tiled(params, lq, 2, tile=8, tile_overlap=4,
+                              mesh=make_mesh())
+    assert sharded.shape == (40, 48, 3)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)

@@ -35,6 +35,9 @@ def parse_args():
     p.add_argument("--tmpdir",
                    help="accepted for reference-CLI parity; unused")
     p.add_argument("--split", default="test", choices=["test", "val"])
+    p.add_argument("--shard-tiles", action="store_true",
+                   help="shard each image's tile batch over local chips "
+                        "(tile/'sequence' parallelism)")
     return p.parse_args()
 
 
@@ -76,8 +79,12 @@ def main():
             lambda: model.init_params(jax.random.PRNGKey(0)))
         params = load_params(ckpt, like)
 
+    mesh = None
+    if args.shard_tiles and len(jax.local_devices()) > 1:
+        from ciaosr_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(len(jax.local_devices()))
     results = evaluate_dataset(model, params, dataset,
-                               save_path=args.save_path)
+                               save_path=args.save_path, mesh=mesh)
     if jax.process_index() == 0:
         print("Eval results:")
         for k, v in results.items():

@@ -42,7 +42,8 @@ def build(model: str, dtype="bf16"):
                             hidden_list=[256] * 4),
                imnet_v=dict(type="MLPRefiner", out_dim=64,
                             hidden_list=[256] * 4),
-               feat_unfold=True, eval_bsize=30000, dtype=dtype)
+               feat_unfold=True, eval_bsize=30000, dtype=dtype,
+               use_pallas=dtype == "bf16")
     if model == "swinir":
         gen["window_size"] = 8
     return CiaoSRRestorer(generator=gen, test_cfg=dict(metrics=["PSNR"]))

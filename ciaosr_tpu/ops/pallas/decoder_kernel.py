@@ -104,8 +104,11 @@ def _decode_kernel(sel_ref, u_refs, v_refs, q_ref, rely_ref, relx_ref,
     h_q = jnp.maximum(
         _mm(outv.astype(jnp.bfloat16), weights["q_w0"]) + weights["q_b0"],
         0.0)
-    rgb = _mlp_tail(h_q, weights, "q", n_hidden)   # (N, out_pad)
-    out_ref[0] = rgb.reshape(rows, width, -1)
+    rgb = _mlp_tail(h_q, weights, "q", n_hidden)   # (N, out_pad≥128)
+    # write only 8 lanes: the imnet_q matmul stays 128-wide for the MXU,
+    # but a 128-ch f32 output block would write 2.4 GB/tile for 3 useful
+    # channels (43× the data) and steal DMA bandwidth from the inputs
+    out_ref[0] = rgb[:, :8].reshape(rows, width, 8)
 
 
 def _shift_planes(t: jnp.ndarray) -> jnp.ndarray:
@@ -243,7 +246,7 @@ def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
             pl.BlockSpec((1, n_shift, w), lambda b, p, i, sref: (p, 0, 0)),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w_names],
         ],
-        out_specs=pl.BlockSpec((1, rows, w, 128),
+        out_specs=pl.BlockSpec((1, rows, w, 8),
                                lambda b, p, i, sref: (b * n_phase + p, i,
                                                       0, 0)),
     )
@@ -274,7 +277,7 @@ def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz * n_phase, h, w, 128),
+        out_shape=jax.ShapeDtypeStruct((bsz * n_phase, h, w, 8),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

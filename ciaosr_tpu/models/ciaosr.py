@@ -103,17 +103,25 @@ class CiaoSRNet(nn.Module):
         feature = self.gen_feature(x)
         return self.query_rgb(feature, x, coord, cell)
 
+    def nl_feature(self, feature: jnp.ndarray) -> jnp.ndarray:
+        """Cross-scale attention features, exposed so chunked eval can
+        compute them ONCE instead of per query chunk."""
+        return self.cs_attn(feature)
+
     def query_rgb(self, feature: jnp.ndarray, x: jnp.ndarray,
-                  coord: jnp.ndarray, cell: jnp.ndarray) -> jnp.ndarray:
+                  coord: jnp.ndarray, cell: jnp.ndarray,
+                  nl_feat: jnp.ndarray | None = None) -> jnp.ndarray:
         """Decode queries against precomputed features.
 
         Includes the global bilinear residual (ciaosr_net.py:107-108) so
-        chunked eval can stream query blocks independently.
+        chunked eval can stream query blocks independently. ``nl_feat``
+        optionally supplies precomputed cross-scale-attention features
+        (hoisted out of the restorer's chunk loop).
         """
         b, h, w, c = feature.shape
         q = coord.shape[1]
 
-        if self.non_local_attn:
+        if self.non_local_attn and nl_feat is None:
             nl_feat = self.cs_attn(feature)        # (B,H,W,C·|ms|)
 
         # ---- query vector at the unshifted nearest LR pixel (:145-146)

@@ -87,13 +87,16 @@ class CiaoSRRestorer:
             def run(params, lq, coord, cell):
                 lq_n = (lq - self.rgb_mean) / self.rgb_std
                 feature = gen.apply(params, lq_n, method="gen_feature")
+                # CSA is a per-image map — compute ONCE, not per chunk
+                nl = gen.apply(params, feature, method="nl_feature") \
+                    if gen.non_local_attn else None
                 n_chunks = q_pad // chunk
                 coord_c = coord.reshape(coord.shape[0], n_chunks, chunk, 2)
                 cell_c = cell.reshape(cell.shape[0], n_chunks, chunk, 2)
 
                 def one(args):
                     co, ce = args  # (B, chunk, 2) each
-                    return gen.apply(params, feature, lq_n, co, ce,
+                    return gen.apply(params, feature, lq_n, co, ce, nl,
                                      method="query_rgb")
 
                 preds = jax.lax.map(

@@ -350,16 +350,15 @@ class CiaoSRNet(nn.Module):
         s = int(scale)
         b, h, w, _ = feature.shape
         u_map = unfold_nhwc(feature) if self.feat_unfold else feature
-        if self.non_local_attn:
-            v_map = jnp.concatenate(
-                [u_map, self.cs_attn(feature, flash=True)], axis=-1)
-        else:
-            v_map = u_map
+        # value features are concat([u_map, CSA]); the kernel reuses the
+        # key planes for the shared prefix, so only CSA planes are passed
+        csa_map = (self.cs_attn(feature, flash=True)
+                   if self.non_local_attn else None)
         params = {"imnet_k": self.imnet_k.variables["params"],
                   "imnet_v": self.imnet_v.variables["params"],
                   "imnet_q": self.imnet_q.variables["params"]}
         phases = grid_decode_fused(
-            u_map, v_map, params, scale=s, local_size=self.local_size,
+            u_map, csa_map, params, scale=s, local_size=self.local_size,
             softmax_scale=self.softmax_scale, rows=rows,
             interpret=jax.default_backend() == "cpu")
         img = phases.reshape(b, s, s, h, w, 3).transpose(

@@ -1,22 +1,34 @@
 """Fused CiaoSR grid-decoder kernel (Pallas/Mosaic, TPU).
 
-Fuses, per (image, phase, row-block) grid instance, the entire per-pixel decoder
+Fuses, per (image, phase, row-block) grid instance, the per-pixel decoder
 of query_rgb_grid (models/ciaosr.py): for all S local-ensemble shifts the
-imnet_k / imnet_v modulation MLPs (ciaosr_net.py:195-206), the key-query
-logits, the softmax local ensemble (:211-215), the value blend, and the
-imnet_q head (:220-222) — one HBM read of the shifted feature planes, one
-HBM write of RGB. All MLP weights live in VMEM for the whole kernel; the
-XLA fallback path writes ~6 (N,576..640) intermediates to HBM per shift.
+imnet_k / imnet_v modulation MLP tails (ciaosr_net.py:195-206), the
+key-query logits, the softmax local ensemble (:211-215), the value blend,
+and the imnet_q head (:220-222) — one HBM read of the shifted feature
+planes, one HBM write of RGB. All MLP weights live in VMEM for the whole
+kernel; the XLA fallback path writes ~6 (N,576..640) intermediates to HBM
+per shift.
 
-Shift-plane selection: the 9 edge-clamped shifted copies of the (un)folded
-feature maps are stacked outside; each of the S shift inputs is the SAME
-stacked array passed with an index_map that picks plane sel[p, s] via
-scalar prefetch — no gathers, no halo DMA.
+Shift-plane selection: the 9 edge-clamped shifted copies of the feature
+maps are stacked outside; each of the S shift inputs is the SAME stacked
+array passed with an index_map that picks plane sel[p, s] via scalar
+prefetch — no gathers, no halo DMA.
 
-First-layer decomposition: Dense([K, rel, cell]) = K @ W_main
-+ rely ⊗ w_rel_y + relx ⊗ w_rel_x + b_eff, where b_eff folds the
-(constant) cell terms; rely/relx carry the per-phase rel constants and
-their border-clamp corrections.
+Traffic/FLOP structure (what is hoisted and what is deduplicated):
+
+* First-layer feature matmuls K@W_feat of imnet_k/imnet_v are
+  shift-equivariant and phase-independent, so they run ONCE per image
+  outside the kernel; the kernel reads their shifted 256-wide planes and
+  only runs the MLP *tails* (~28% of decoder FLOPs removed).
+  Dense([K, rel, cell]) = K @ W_feat + rely ⊗ w_rel_y + relx ⊗ w_rel_x
+  + b_eff, where b_eff folds the (constant) cell terms; rely/relx carry
+  the per-phase rel constants and their border-clamp corrections.
+* The value features are concat([unfold, CSA]) (ciaosr_net.py:134-137),
+  whose first DK lanes duplicate the key features exactly — the kernel
+  reads the CSA extension planes only and reuses the key planes for the
+  value modulation, splitting imnet_v's output layer and imnet_q's input
+  layer column-/row-wise at pack time (host-side; no in-kernel
+  unaligned lane slicing).
 """
 
 from __future__ import annotations
@@ -34,31 +46,45 @@ def _mm(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _mlp_tail(h, weights, prefix, n_hidden):
-    """hidden layers 2..n + out layer; h is (N,256) f32 (post first relu)."""
+def _mlp_hidden(h, weights, prefix, n_hidden):
+    """hidden layers 2..n; h is (N,hidden) f32 (post first relu)."""
     for i in range(1, n_hidden):
         h = jnp.maximum(_mm(h.astype(jnp.bfloat16), weights[f"{prefix}_w{i}"])
                         + weights[f"{prefix}_b{i}"], 0.0)
+    return h
+
+
+def _mlp_tail(h, weights, prefix, n_hidden):
+    """hidden layers 2..n + out layer; h is (N,hidden) f32."""
+    h = _mlp_hidden(h, weights, prefix, n_hidden)
     return _mm(h.astype(jnp.bfloat16), weights[f"{prefix}_wout"]) \
         + weights[f"{prefix}_bout"]
 
 
-def _decode_kernel(sel_ref, u_refs, v_refs, q_ref, rely_ref, relx_ref,
-                   w_refs, out_ref, *, n_shift, n_hidden, softmax_scale,
-                   rows, width, dk, dv):
+def _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, q_ref,
+                   rely_ref, relx_ref, w_refs, out_ref, *, n_shift,
+                   n_hidden, softmax_scale, rows, width, dk, dc):
     n = rows * width
     weights = {k: r[...] for k, r in w_refs.items()}
+    hk = weights["k_b0"].shape[-1]
 
     q = q_ref[0].reshape(n, dk).astype(jnp.bfloat16)
 
     logits = []
-    pred_vs = []
+    pred_as = []
+    pred_bs = []
     for s in range(n_shift):
         x_k = u_refs[s][0].reshape(n, dk).astype(jnp.bfloat16)
-        x_v = v_refs[s][0].reshape(n, dv).astype(jnp.bfloat16)
+        # hoisted first-layer feature matmuls (module docstring): shifted
+        # 256-wide pre-activation planes, computed once per image outside
+        pre_k = gk_refs[s][0].reshape(n, -1).astype(jnp.float32)
+        pre_v = gv_refs[s][0].reshape(n, -1).astype(jnp.float32)
 
         # first layers with decomposed rel terms. rely lives in SMEM
         # (scalar reads per image row); relx is a full VMEM lane row.
+        # VPU outer products measured faster than a K=8 MXU matmul for
+        # the rank-2 correction (28.5 vs 30.0 ms/tile) — the MXU is the
+        # contended unit here, not the VPU.
         p_idx = pl.program_id(1)
         i_blk = pl.program_id(2)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
@@ -68,25 +94,32 @@ def _decode_kernel(sel_ref, u_refs, v_refs, q_ref, rely_ref, relx_ref,
             rel_y_map = jnp.where(row_ids == r, ry, rel_y_map)
         relx = relx_ref[0, s, :]                           # (width,)
         rel_x_map = jnp.broadcast_to(relx[None, :], (rows, width))
-        rc_k = (rel_y_map[:, :, None] * weights["k_wrely"][None, None, :]
-                + rel_x_map[:, :, None] * weights["k_wrelx"][None, None, :]
+        rc_k = (rel_y_map[:, :, None] * weights["rel_w"][0, :hk]
+                + rel_x_map[:, :, None] * weights["rel_w"][1, :hk]
+                ).reshape(n, hk)
+        rc_v = (rel_y_map[:, :, None] * weights["rel_w"][0, hk:]
+                + rel_x_map[:, :, None] * weights["rel_w"][1, hk:]
                 ).reshape(n, -1)
-        rc_v = (rel_y_map[:, :, None] * weights["v_wrely"][None, None, :]
-                + rel_x_map[:, :, None] * weights["v_wrelx"][None, None, :]
-                ).reshape(n, -1)
-        h_k = jnp.maximum(
-            _mm(x_k, weights["k_w0"]) + rc_k + weights["k_b0"], 0.0)
-        h_v = jnp.maximum(
-            _mm(x_v, weights["v_w0"]) + rc_v + weights["v_b0"], 0.0)
+        h_k = jnp.maximum(pre_k + rc_k + weights["k_b0"], 0.0)
+        h_v = jnp.maximum(pre_v + rc_v + weights["v_b0"], 0.0)
 
         wk = _mlp_tail(h_k, weights, "k", n_hidden)      # (N, DK) f32
-        wv = _mlp_tail(h_v, weights, "v", n_hidden)      # (N, DV) f32
+        hv_last = _mlp_hidden(h_v, weights, "v",
+                              n_hidden).astype(jnp.bfloat16)
+        # value modulation, split: lanes [0,DK) of the value features are
+        # the key features (concat([unfold, CSA])) — reuse x_k, read only
+        # the CSA extension plane
+        wv_a = _mm(hv_last, weights["v_wouta"]) + weights["v_bouta"]
 
         pred_k = x_k.astype(jnp.float32) * wk
         logits.append(jnp.sum(q.astype(jnp.float32) * pred_k, axis=-1,
                               keepdims=True))
         # bf16 storage (VMEM budget); the blend below accumulates in f32
-        pred_vs.append((x_v.astype(jnp.float32) * wv).astype(jnp.bfloat16))
+        pred_as.append((x_k.astype(jnp.float32) * wv_a).astype(jnp.bfloat16))
+        if dc:
+            x_c = c_refs[s][0].reshape(n, dc).astype(jnp.float32)
+            wv_b = _mm(hv_last, weights["v_woutb"]) + weights["v_boutb"]
+            pred_bs.append((x_c * wv_b).astype(jnp.bfloat16))
 
     # local-ensemble softmax over shifts: manual on (N,1) columns
     lg = [l / softmax_scale for l in logits]
@@ -97,13 +130,19 @@ def _decode_kernel(sel_ref, u_refs, v_refs, q_ref, rely_ref, relx_ref,
     denom = ex[0]
     for s in range(1, n_shift):
         denom = denom + ex[s]
-    outv = pred_vs[0].astype(jnp.float32) * (ex[0] / denom)
+    attn = [e / denom for e in ex]
+    outv_a = pred_as[0].astype(jnp.float32) * attn[0]
     for s in range(1, n_shift):
-        outv = outv + pred_vs[s].astype(jnp.float32) * (ex[s] / denom)
+        outv_a = outv_a + pred_as[s].astype(jnp.float32) * attn[s]
 
-    h_q = jnp.maximum(
-        _mm(outv.astype(jnp.bfloat16), weights["q_w0"]) + weights["q_b0"],
-        0.0)
+    # imnet_q first layer, row-split to match the value split
+    pre_q = _mm(outv_a.astype(jnp.bfloat16), weights["q_w0a"])
+    if dc:
+        outv_b = pred_bs[0].astype(jnp.float32) * attn[0]
+        for s in range(1, n_shift):
+            outv_b = outv_b + pred_bs[s].astype(jnp.float32) * attn[s]
+        pre_q = pre_q + _mm(outv_b.astype(jnp.bfloat16), weights["q_w0b"])
+    h_q = jnp.maximum(pre_q + weights["q_b0"], 0.0)
     rgb = _mlp_tail(h_q, weights, "q", n_hidden)   # (N, out_pad≥128)
     # write only 8 lanes: the imnet_q matmul stays 128-wide for the MXU,
     # but a 128-ch f32 output block would write 2.4 GB/tile for 3 useful
@@ -135,8 +174,10 @@ def _pack_weights(mlp_params, prefix, main_dim, cell_val, n_hidden,
                   with_rc=True, pad_out=False):
     out = {}
     if with_rc:
-        w0, wry, wrx, wcy, wcx, b0 = _split_first_layer(mlp_params, main_dim)
-        out[f"{prefix}_w0"] = w0
+        # w0 (the feature block) is NOT packed: its matmul is hoisted out
+        # of the kernel (see grid_decode_fused); only the rel rows and the
+        # cell-folded bias enter VMEM.
+        _, wry, wrx, wcy, wcx, b0 = _split_first_layer(mlp_params, main_dim)
         out[f"{prefix}_wrely"] = wry
         out[f"{prefix}_wrelx"] = wrx
         out[f"{prefix}_b0"] = b0 + cell_val * (wcy + wcx)
@@ -161,13 +202,16 @@ def _pack_weights(mlp_params, prefix, main_dim, cell_val, n_hidden,
     return out
 
 
-def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
+def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
                       params: dict, scale: int, local_size: int,
                       softmax_scale: float, rows: int = 4,
                       interpret: bool = False) -> jnp.ndarray:
     """Run the fused decoder over all phases.
 
-    u_map: (B,H,W,DK) unfolded features (bf16 ok); v_map: (B,H,W,DV);
+    u_map: (B,H,W,DK) unfolded features (bf16 ok); csa_map: optional
+    (B,H,W,DC) cross-scale-attention features — the value features are
+    concat([u_map, csa_map]) and are never materialized (kernel reuses
+    the key planes for the shared prefix);
     params: generator params dict with imnet_k/v/q subtrees.
     Returns (B·s², H, W, 3) float32 phase images (pre-residual), image-major
     (image b's phase p at index b·s² + p).
@@ -176,15 +220,31 @@ def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
 
     s = int(scale)
     bsz, h, w, dk = u_map.shape
-    dv = v_map.shape[-1]
+    dc = 0 if csa_map is None else csa_map.shape[-1]
+    dv = dk + dc
     shifts = shift_offsets(local_size)
     n_shift = len(shifts)
     n_hidden = len([k for k in params["imnet_k"] if k.startswith("layers")])
     cell_val = 2.0 / s
 
     u9 = _shift_planes(u_map.astype(jnp.bfloat16))
-    v9 = _shift_planes(v_map.astype(jnp.bfloat16))
+    c9 = _shift_planes(csa_map.astype(jnp.bfloat16)) if dc else None
     query = u_map.astype(jnp.bfloat16)
+
+    # hoisted first-layer feature matmuls (shift-equivariant, phase-
+    # independent — one pass per image serves all s²·n_shift kernel
+    # instances as shifted plane views; same trick as query_rgb_grid)
+    wk0 = params["imnet_k"]["layers_0"]["kernel"][:dk].astype(jnp.bfloat16)
+    wv0 = params["imnet_v"]["layers_0"]["kernel"][:dv].astype(jnp.bfloat16)
+    u_flat = u_map.astype(jnp.bfloat16).reshape(-1, dk)
+    g_k = _mm(u_flat, wk0)
+    g_v = _mm(u_flat, wv0[:dk])
+    if dc:
+        g_v = g_v + _mm(csa_map.astype(jnp.bfloat16).reshape(-1, dc),
+                        wv0[dk:])
+    hidden_k, hidden_v = g_k.shape[-1], g_v.shape[-1]
+    gk9 = _shift_planes(g_k.reshape(bsz, h, w, hidden_k).astype(jnp.bfloat16))
+    gv9 = _shift_planes(g_v.reshape(bsz, h, w, hidden_v).astype(jnp.bfloat16))
 
     # ---- per-phase constants (host) ----
     def axis_consts(n_, big_n):
@@ -222,6 +282,26 @@ def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
                                  n_hidden))
     weights.update(_pack_weights(params["imnet_q"], "q", dv, cell_val,
                                  n_hidden, with_rc=False, pad_out=True))
+    # joint rel-correction rows for the in-kernel outer products:
+    # row 0 = d(h)/d(rel_y), row 1 = d(h)/d(rel_x), over [k-MLP | v-MLP]
+    rel_w = jnp.zeros((2, weights["k_b0"].shape[-1]
+                       + weights["v_b0"].shape[-1]), jnp.float32)
+    rel_w = rel_w.at[0].set(jnp.concatenate([weights.pop("k_wrely"),
+                                             weights.pop("v_wrely")]))
+    rel_w = rel_w.at[1].set(jnp.concatenate([weights.pop("k_wrelx"),
+                                             weights.pop("v_wrelx")]))
+    weights["rel_w"] = rel_w
+    # split imnet_v's output layer (columns) and imnet_q's first layer
+    # (rows) at the unfold/CSA boundary — host-side, so the kernel never
+    # lane-slices at a non-128-aligned offset
+    v_wout = weights.pop("v_wout")
+    v_bout = weights.pop("v_bout")
+    weights["v_wouta"], weights["v_bouta"] = v_wout[:, :dk], v_bout[:dk]
+    q_w0 = weights.pop("q_w0")
+    weights["q_w0a"] = q_w0[:dk]
+    if dc:
+        weights["v_woutb"], weights["v_boutb"] = v_wout[:, dk:], v_bout[dk:]
+        weights["q_w0b"] = q_w0[dk:]
     w_names = sorted(weights)
 
     rows = min(rows, h)
@@ -229,18 +309,19 @@ def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
         rows -= 1
     n_blocks = h // rows
 
+    def sel_spec(width_, si):
+        return pl.BlockSpec((1, rows, w, width_),
+                            (lambda b, p, i, sref, s_=si:
+                             (b * 9 + sref[p, s_], i, 0, 0)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, n_phase, n_blocks),
         in_specs=[
-            *[pl.BlockSpec((1, rows, w, dk),
-                           (lambda b, p, i, sref, s_=si:
-                            (b * 9 + sref[p, s_], i, 0, 0)))
-              for si in range(n_shift)],
-            *[pl.BlockSpec((1, rows, w, dv),
-                           (lambda b, p, i, sref, s_=si:
-                            (b * 9 + sref[p, s_], i, 0, 0)))
-              for si in range(n_shift)],
+            *[sel_spec(dk, si) for si in range(n_shift)],
+            *([sel_spec(dc, si) for si in range(n_shift)] if dc else []),
+            *[sel_spec(hidden_k, si) for si in range(n_shift)],
+            *[sel_spec(hidden_v, si) for si in range(n_shift)],
             pl.BlockSpec((1, rows, w, dk), lambda b, p, i, sref: (b, i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # rely (P,S,H)
             pl.BlockSpec((1, n_shift, w), lambda b, p, i, sref: (p, 0, 0)),
@@ -251,27 +332,31 @@ def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
                                                       0, 0)),
     )
 
+    n_c = n_shift if dc else 0
+
     def kernel(sel_ref, *refs):
         u_refs = refs[:n_shift]
-        v_refs = refs[n_shift:2 * n_shift]
-        q_ref = refs[2 * n_shift]
-        rely_ref = refs[2 * n_shift + 1]
-        relx_ref = refs[2 * n_shift + 2]
-        w_refs = dict(zip(w_names, refs[2 * n_shift + 3:
-                                        2 * n_shift + 3 + len(w_names)]))
+        c_refs = refs[n_shift:n_shift + n_c]
+        gk_refs = refs[n_shift + n_c:2 * n_shift + n_c]
+        gv_refs = refs[2 * n_shift + n_c:3 * n_shift + n_c]
+        rest = refs[3 * n_shift + n_c:]
+        q_ref, rely_ref, relx_ref = rest[0], rest[1], rest[2]
+        w_refs = dict(zip(w_names, rest[3:3 + len(w_names)]))
         out_ref = refs[-1]
-        _decode_kernel(sel_ref, u_refs, v_refs, q_ref, rely_ref, relx_ref,
-                       w_refs, out_ref, n_shift=n_shift, n_hidden=n_hidden,
-                       softmax_scale=softmax_scale, rows=rows, width=w,
-                       dk=dk, dv=dv)
+        _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, q_ref,
+                       rely_ref, relx_ref, w_refs, out_ref, n_shift=n_shift,
+                       n_hidden=n_hidden, softmax_scale=softmax_scale,
+                       rows=rows, width=w, dk=dk, dc=dc)
 
-    mlp_flops = (dk * 256 + (n_hidden - 1) * 256 * 256 + 256 * dk
-                 + dv * 256 + (n_hidden - 1) * 256 * 256 + 256 * dv)
+    # first-layer feature matmuls hoisted → only MLP tails run in-kernel
+    mlp_flops = ((n_hidden - 1) * 256 * 256 + 256 * dk
+                 + (n_hidden - 1) * 256 * 256 + 256 * dv)
     cost = pl.CostEstimate(
         flops=2 * bsz * n_phase * h * w * (n_shift * mlp_flops
                                            + dv * 256
                                            + (n_hidden - 1) * 65536),
-        bytes_accessed=bsz * n_phase * h * w * (dk + dv) * 2 * (n_shift + 1),
+        bytes_accessed=bsz * n_phase * h * w
+        * (dk + dc + hidden_k + hidden_v) * 2 * (n_shift + 1),
         transcendentals=bsz * n_phase * h * w * n_shift)
 
     out = pl.pallas_call(
@@ -284,7 +369,9 @@ def grid_decode_fused(u_map: jnp.ndarray, v_map: jnp.ndarray,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=cost,
         interpret=interpret,
-    )(jnp.asarray(sel), *([u9] * n_shift), *([v9] * n_shift), query,
+    )(jnp.asarray(sel), *([u9] * n_shift),
+      *([c9] * n_shift if dc else []),
+      *([gk9] * n_shift), *([gv9] * n_shift), query,
       jnp.asarray(rely), jnp.asarray(relx),
       *[weights[k] for k in w_names])
     return out[..., :3]

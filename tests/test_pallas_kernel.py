@@ -39,12 +39,10 @@ def test_fused_kernel_matches_grid_path(rng, scale, non_local, batch):
     u = unfold_nhwc(feat)
     if non_local:
         csa = CrossScaleAttention(channels=16, scales=(2,))
-        v = jnp.concatenate(
-            [u, csa.apply({"params": params["params"]["cs_attn"]}, feat)],
-            -1)
+        csa_map = csa.apply({"params": params["params"]["cs_attn"]}, feat)
     else:
-        v = u
-    phases = grid_decode_fused(u, v, params["params"], scale=scale,
+        csa_map = None
+    phases = grid_decode_fused(u, csa_map, params["params"], scale=scale,
                                local_size=2, softmax_scale=1.0, rows=2,
                                interpret=True)
     h, w = 8, 10

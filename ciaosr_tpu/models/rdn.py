@@ -128,7 +128,11 @@ class ResidualDenseBlock(nn.Module):
                                              lb.kernel[:, :, known:, :],
                                              self.dtype)
                               + lb.bias.astype(cdt))
-                slices.extend([y_a, y_b])
+                # store the pair as ONE 2g-wide slice: g=64 slices pad to
+                # 128 VMEM lanes, so per-slice convs over 64-wide slices
+                # run the MXU contraction half-empty (measured 21 → 16
+                # ms/tile for the 192² trunk)
+                slices.append(jnp.concatenate([y_a, y_b], axis=-1))
                 i += 2
             else:
                 slices.append(nn.relu(la(slices)))
@@ -160,11 +164,16 @@ class RDNEncoder(nn.Module):
                                       self.num_layers, dtype=self.dtype,
                                       name=f"rdb_{i}")(feat)
             locals_.append(feat)
-        # global fusion over all block outputs — also slice-sum form
+        # global fusion over all block outputs — also slice-sum form, with
+        # block outputs paired into 2·mid-wide slices for full MXU lanes
+        paired = [jnp.concatenate(locals_[i:i + 2], axis=-1)
+                  for i in range(0, len(locals_) - 1, 2)]
+        if len(locals_) % 2:
+            paired.append(locals_[-1])
         gff0 = SliceSumConv(self.mid_channels,
                             self.mid_channels * self.num_blocks,
                             kernel_size=1, dtype=self.dtype,
-                            name="gff_0")(locals_)
+                            name="gff_0")(paired)
         g = conv3x3(self.mid_channels, self.mid_channels, "gff_1",
                     self.dtype)(gff0)
         return g + sfe1

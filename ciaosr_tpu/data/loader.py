@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 
 import numpy as np
 
@@ -71,28 +72,46 @@ class DataLoader:
 
         pending: dict[int, dict] = {}
         pending_lock = threading.Lock()
+        errors: list[BaseException] = []
 
         def worker():
             while not stop.is_set():
                 item = idx_q.get()
-                if item is None:
+                if item is None or stop.is_set():
                     batch_q.put(None)
                     return
                 seq, chunk = item
-                samples = [self.dataset[int(i)] for i in chunk]
+                try:
+                    samples = [self.dataset[int(i)] for i in chunk]
+                except BaseException as e:  # noqa: BLE001 — must not hang
+                    # reads racing a shutdown (tmpdir teardown in tests/
+                    # benches) are expected; anything else must surface in
+                    # the consumer — a silently-dead worker means the
+                    # ordered merge waits on its seq forever
+                    if not stop.is_set():
+                        errors.append(e)
+                        stop.set()
+                    batch_q.put(None)
+                    return
                 samples = [s for s in samples if s is not None]
                 batch = default_collate(samples) if samples else None
                 with pending_lock:
                     pending[seq] = batch
+            batch_q.put(None)
 
         threading.Thread(target=feeder, daemon=True).start()
-        for _ in range(self.num_workers):
-            threading.Thread(target=worker, daemon=True).start()
+        workers = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in workers:
+            t.start()
 
         next_seq = 0
         done_workers = 0
         try:
             while True:
+                if errors:
+                    raise RuntimeError(
+                        "DataLoader worker failed") from errors[0]
                 with pending_lock:
                     batch = pending.pop(next_seq, "_missing")
                 if batch == "_missing":
@@ -101,6 +120,10 @@ class DataLoader:
                         if sentinel is None:
                             done_workers += 1
                             if done_workers >= self.num_workers:
+                                if errors:
+                                    raise RuntimeError(
+                                        "DataLoader worker failed"
+                                    ) from errors[0]
                                 with pending_lock:
                                     remaining = sorted(pending)
                                 for seq in remaining:
@@ -115,7 +138,33 @@ class DataLoader:
                 if batch is not None:
                     yield batch
         finally:
+            # Deterministic shutdown: daemon threads killed mid-imread at
+            # interpreter teardown abort the process (cv2 is C++), and
+            # threads outliving a closed iterator race whatever the dataset
+            # reads from (tmpdirs in benches/tests). Wake everything, then
+            # JOIN the workers.
             stop.set()
+            while True:                   # drop queued work, unblock feeder
+                try:
+                    idx_q.get_nowait()
+                except queue.Empty:
+                    break
+            deadline = time.time() + 10.0
+            alive = list(workers)
+            while alive and time.time() < deadline:
+                for _ in range(len(alive)):    # wake workers blocked on get
+                    try:
+                        idx_q.put_nowait(None)
+                    except queue.Full:
+                        break
+                while True:            # unblock workers stuck on batch_q.put
+                    try:
+                        batch_q.get_nowait()
+                    except queue.Empty:
+                        break
+                for t in alive:
+                    t.join(0.05)
+                alive = [t for t in alive if t.is_alive()]
 
 
 def build_dataloader(dataset, samples_per_gpu: int, workers_per_gpu: int = 4,

@@ -55,6 +55,18 @@ def available() -> bool:
     return _load() is not None
 
 
+def ensure_built() -> bool:
+    """Force a (re)build attempt even if an earlier import already failed
+    to load — `_load` caches its first result, so a test that sets
+    CIAOSR_BUILD_NATIVE after some other module touched this one would
+    otherwise see a stale negative."""
+    global _TRIED
+    if _LIB is None:
+        _TRIED = False
+        os.environ["CIAOSR_BUILD_NATIVE"] = "1"
+    return available()
+
+
 def bicubic_resize(img: np.ndarray, out_h: int, out_w: int, scale: float,
                    antialiasing: bool = True,
                    n_threads: int | None = None) -> np.ndarray | None:

@@ -92,8 +92,13 @@ class CiaoSRNet(nn.Module):
                 softmax_scale=self.cs_softmax_scale, average=self.cs_average,
                 dtype=self.dtype, name="cs_attn")
 
-    def gen_feature(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Encoder trunk features, NHWC."""
+    def gen_feature(self, x: jnp.ndarray, flash: bool = False) -> jnp.ndarray:
+        """Encoder trunk features, NHWC. flash=True routes SwinIR window
+        attention through the fused Pallas kernel (forward-only — eval
+        paths opt in via use_pallas)."""
+        from ciaosr_tpu.models.swinir import SwinIREncoder
+        if flash and isinstance(self.encoder, SwinIREncoder):
+            return self.encoder(x, flash=True)
         return self.encoder(x)
 
     def __call__(self, x: jnp.ndarray, coord: jnp.ndarray,

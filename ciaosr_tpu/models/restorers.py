@@ -86,7 +86,8 @@ class CiaoSRRestorer:
             @jax.jit
             def run(params, lq, coord, cell):
                 lq_n = (lq - self.rgb_mean) / self.rgb_std
-                feature = gen.apply(params, lq_n, method="gen_feature")
+                feature = gen.apply(params, lq_n, gen.use_pallas,
+                                    method="gen_feature")
                 # CSA is a per-image map — compute ONCE, not per chunk
                 nl = gen.apply(params, feature, method="nl_feature") \
                     if gen.non_local_attn else None
@@ -119,7 +120,8 @@ class CiaoSRRestorer:
             @jax.jit
             def run(params, lq):
                 lq_n = (lq - self.rgb_mean) / self.rgb_std
-                feature = gen.apply(params, lq_n, method="gen_feature")
+                feature = gen.apply(params, lq_n, gen.use_pallas,
+                                    method="gen_feature")
                 if gen.use_pallas:
                     img = gen.apply(params, feature, lq_n, scale,
                                     method="query_rgb_grid_pallas")
@@ -181,7 +183,9 @@ class CiaoSRRestorer:
             @jax.jit
             def run(params, acc, cnt, lq_tiles, ys, xs, mask):
                 lq_n = (lq_tiles - self.rgb_mean) / self.rgb_std
-                feature = gen.apply(params, lq_n, method="gen_feature")
+                feature = gen.apply(params, lq_n,
+                                    gen.use_pallas and allow_pallas,
+                                    method="gen_feature")
                 if gen.use_pallas and allow_pallas:
                     img = gen.apply(params, feature, lq_n, scale,
                                     method="query_rgb_grid_pallas")

@@ -74,6 +74,29 @@ def window_reverse(x: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
 
 
+class DenseParams(nn.Module):
+    """nn.Dense-equivalent (same param tree: kernel/bias) that also exposes
+    its parameters as attributes so fused kernels can consume them raw."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    def setup(self):
+        self.kernel = self.param("kernel", trunc_init,
+                                 (self.in_features, self.features))
+        if self.use_bias:
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+
+    def __call__(self, x: jnp.ndarray, dtype: Any = None) -> jnp.ndarray:
+        cdt = dtype or x.dtype
+        y = x.astype(cdt) @ self.kernel.astype(cdt)
+        if self.use_bias:
+            y = y + self.bias.astype(cdt)
+        return y
+
+
 class WindowAttention(nn.Module):
     dim: int
     window_size: int
@@ -81,27 +104,46 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: np.ndarray | None):
+    def setup(self):
+        c = self.dim
+        self.qkv = DenseParams(c, 3 * c, use_bias=self.qkv_bias, name="qkv")
+        self.proj = DenseParams(c, c, name="proj")
+        self.relative_position_bias_table = self.param(
+            "relative_position_bias_table", trunc_init,
+            ((2 * self.window_size - 1) ** 2, self.num_heads))
+
+    def _bias(self, n: int) -> jnp.ndarray:
+        idx = _rel_pos_index(self.window_size).reshape(-1)
+        return self.relative_position_bias_table[idx].reshape(
+            n, n, self.num_heads).transpose(2, 0, 1)       # (heads, N, N)
+
+    def __call__(self, x: jnp.ndarray, mask: np.ndarray | None,
+                 flash: bool = False):
         bw, n, c = x.shape
         heads = self.num_heads
         head_dim = c // heads
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, kernel_init=trunc_init,
-                       dtype=self.dtype, name="qkv")(x)
+        if flash:
+            # fused Pallas kernel (forward-only — eval paths opt in)
+            import jax
+
+            from ciaosr_tpu.ops.pallas.window_attention import (
+                window_attention_fused)
+            out = window_attention_fused(
+                x, self.qkv.kernel,
+                self.qkv.bias if self.qkv_bias else None,
+                self.proj.kernel, self.proj.bias, self._bias(n), mask,
+                heads, interpret=jax.default_backend() == "cpu")
+            return out.astype(self.dtype or x.dtype)
+
+        qkv = self.qkv(x, dtype=self.dtype)
         qkv = qkv.reshape(bw, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32)
-
-        table = self.param(
-            "relative_position_bias_table", trunc_init,
-            ((2 * self.window_size - 1) ** 2, heads))
-        idx = _rel_pos_index(self.window_size).reshape(-1)
-        bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
-        attn = attn + bias[None]
+        attn = attn + self._bias(n)[None]
 
         if mask is not None:
             nw = mask.shape[0]
@@ -114,8 +156,7 @@ class WindowAttention(nn.Module):
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
         out = out.astype(self.dtype or out.dtype)
-        return nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
-                        bias_init=nn.initializers.zeros, name="proj")(out)
+        return self.proj(out, dtype=self.dtype)
 
 
 class SwinBlock(nn.Module):
@@ -128,7 +169,8 @@ class SwinBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, x_size: tuple[int, int]):
+    def __call__(self, x: jnp.ndarray, x_size: tuple[int, int],
+                 flash: bool = False):
         h, w = x_size
         b, n, c = x.shape
         ws = min(self.window_size, min(h, w))
@@ -145,7 +187,7 @@ class SwinBlock(nn.Module):
         mask = _attn_mask(h, w, ws, shift)
         attn_out = WindowAttention(self.dim, ws, self.num_heads,
                                    self.qkv_bias, dtype=self.dtype,
-                                   name="attn")(windows, mask)
+                                   name="attn")(windows, mask, flash)
         x = window_reverse(attn_out, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -173,7 +215,8 @@ class RSTB(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, x_size: tuple[int, int]):
+    def __call__(self, x: jnp.ndarray, x_size: tuple[int, int],
+                 flash: bool = False):
         h, w = x_size
         b, n, c = x.shape
         res = x
@@ -181,7 +224,8 @@ class RSTB(nn.Module):
             x = SwinBlock(self.dim, self.num_heads, self.window_size,
                           shift_size=0 if i % 2 == 0 else self.window_size // 2,
                           mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                          dtype=self.dtype, name=f"blocks_{i}")(x, x_size)
+                          dtype=self.dtype, name=f"blocks_{i}")(x, x_size,
+                                                                flash)
         img = x.reshape(b, h, w, c)
         img = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)),
                       kernel_init=trunc_init, dtype=self.dtype,
@@ -225,7 +269,7 @@ class SwinIREncoder(nn.Module):
         return self.embed_dim
 
     @nn.compact
-    def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, img: jnp.ndarray, flash: bool = False) -> jnp.ndarray:
         b, h0, w0, _ = img.shape
         ws = self.window_size
         pad_h = (ws - h0 % ws) % ws
@@ -247,7 +291,8 @@ class SwinIREncoder(nn.Module):
         for i, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             feat = RSTB(self.embed_dim, depth, heads, ws,
                         mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
-                        dtype=self.dtype, name=f"layers_{i}")(feat, (h, w))
+                        dtype=self.dtype, name=f"layers_{i}")(feat, (h, w),
+                                                              flash)
         feat = nn.LayerNorm(epsilon=1e-5, name="norm")(feat)
         feat = feat.reshape(b, h, w, self.embed_dim)
 

@@ -15,8 +15,7 @@ from ciaosr_tpu.data import native
 
 @pytest.fixture(scope="module")
 def native_lib():
-    os.environ["CIAOSR_BUILD_NATIVE"] = "1"
-    if not native.available():
+    if not native.ensure_built():
         pytest.skip("native library unavailable and could not be built")
     return True
 

@@ -94,3 +94,18 @@ def test_csa_attention_matches_softmax(rng, p, l):
     got = csa_attention(q, k, v, 10.0, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_fused_window_attention_matches_einsum(rng):
+    """SwinIR encoder with flash window attention (interpret mode) matches
+    the einsum path, including shifted blocks (mask kinds) and reflect
+    padding to window multiples."""
+    from ciaosr_tpu.models.swinir import SwinIREncoder
+    enc = SwinIREncoder(embed_dim=12, depths=(2, 2), num_heads=(2, 2),
+                        window_size=4, mlp_ratio=2.0)
+    x = jnp.asarray(rng.random((2, 10, 14, 3), dtype=np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    ref = enc.apply(params, x)
+    got = enc.apply(params, x, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-3, rtol=1e-2)

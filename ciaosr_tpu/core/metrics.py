@@ -233,3 +233,114 @@ def niqe(img: np.ndarray, crop_border: int = 0, input_order: str = "HWC",
     if crop_border != 0:
         img = img[crop_border:-crop_border, crop_border:-crop_border]
     return niqe_core(img, mu_pris, cov_pris, gaussian_window)
+
+
+# ---------------------------------------------------------------------------
+# Matting metrics (reference metrics.py:25-151). Part of the reference's
+# metric surface (inherited from mmediting's evaluation module); kept for
+# API completeness — no shipped config consumes them.
+# ---------------------------------------------------------------------------
+
+def _check_matting_inputs(alpha, trimap, pred_alpha):
+    if alpha.ndim != 2 or trimap.ndim != 2 or pred_alpha.ndim != 2:
+        raise ValueError(
+            "alpha, trimap and pred_alpha must all be 2-D; got "
+            f"{alpha.shape}, {trimap.shape}, {pred_alpha.shape}")
+    if not ((pred_alpha[trimap == 0] == 0).all()
+            and (pred_alpha[trimap == 255] == 255).all()):
+        raise ValueError("pred_alpha should be masked by trimap before "
+                         "evaluation")
+
+
+def sad(alpha: np.ndarray, trimap: np.ndarray,
+        pred_alpha: np.ndarray) -> float:
+    """Sum of absolute differences, /1000 (reference metrics.py:25-37)."""
+    _check_matting_inputs(alpha, trimap, pred_alpha)
+    diff = np.abs(pred_alpha.astype(np.float64) / 255
+                  - alpha.astype(np.float64) / 255)
+    return float(diff.sum() / 1000)
+
+
+def matting_mse(alpha: np.ndarray, trimap: np.ndarray,
+                pred_alpha: np.ndarray) -> float:
+    """MSE over the unknown (trimap==128) region (metrics.py:39-55)."""
+    _check_matting_inputs(alpha, trimap, pred_alpha)
+    weight_sum = int((trimap == 128).sum())
+    if weight_sum == 0:
+        return 0.0
+    diff = (pred_alpha.astype(np.float64) / 255
+            - alpha.astype(np.float64) / 255)
+    return float((diff ** 2).sum() / weight_sum)
+
+
+def _gauss_gradient(img: np.ndarray, sigma: float) -> np.ndarray:
+    """Gaussian-derivative gradient magnitude (the reference imports
+    mmedit's gauss_gradient; same construction: separable G(x)·G'(y)
+    kernels, L2-normalized, replicate-padded filter2D, magnitude)."""
+    epsilon = 1e-2
+    half = int(np.ceil(
+        sigma * np.sqrt(-2 * np.log(np.sqrt(2 * np.pi) * sigma * epsilon))))
+    size = 2 * half + 1
+    x = np.arange(size, dtype=np.float64) - half
+    g = np.exp(-x ** 2 / (2 * sigma ** 2)) / (sigma * np.sqrt(2 * np.pi))
+    dg = -x * g / sigma ** 2
+    kx = g[:, None] * dg[None, :]          # d/dx (columns)
+    kx /= np.sqrt((kx ** 2).sum())
+    ky = kx.T
+    gx = cv2.filter2D(img.astype(np.float64), -1, kx,
+                      borderType=cv2.BORDER_REPLICATE)
+    gy = cv2.filter2D(img.astype(np.float64), -1, ky,
+                      borderType=cv2.BORDER_REPLICATE)
+    return np.sqrt(gx ** 2 + gy ** 2)
+
+
+def gradient_error(alpha: np.ndarray, trimap: np.ndarray,
+                   pred_alpha: np.ndarray, sigma: float = 1.4) -> float:
+    """Gradient error over the unknown region, /1000
+    (reference metrics.py:57-90)."""
+    _check_matting_inputs(alpha, trimap, pred_alpha)
+    alpha = alpha.astype(np.float64)
+    pred_alpha = pred_alpha.astype(np.float64)
+    alpha_n = np.zeros_like(alpha)
+    pred_n = np.zeros_like(pred_alpha)
+    cv2.normalize(alpha, alpha_n, 1.0, 0.0, cv2.NORM_MINMAX)
+    cv2.normalize(pred_alpha, pred_n, 1.0, 0.0, cv2.NORM_MINMAX)
+    a_grad = _gauss_gradient(alpha_n, sigma).astype(np.float32)
+    p_grad = _gauss_gradient(pred_n, sigma).astype(np.float32)
+    loss = ((a_grad - p_grad) ** 2 * (trimap == 128)).sum()
+    return float(loss / 1000)
+
+
+def connectivity(alpha: np.ndarray, trimap: np.ndarray,
+                 pred_alpha: np.ndarray, step: float = 0.1) -> float:
+    """Connectivity error (reference metrics.py:92-151): per threshold,
+    the largest 4-connected component of the GT∩pred binarization defines
+    a round-down map; φ-differences ≥0.15 are penalized over the unknown
+    region, /1000."""
+    _check_matting_inputs(alpha, trimap, pred_alpha)
+    alpha = alpha.astype(np.float32) / 255
+    pred_alpha = pred_alpha.astype(np.float32) / 255
+    thresh_steps = np.arange(0, 1 + step, step)
+    round_down_map = -np.ones_like(alpha)
+    for i in range(1, len(thresh_steps)):
+        inter = ((alpha >= thresh_steps[i])
+                 & (pred_alpha >= thresh_steps[i])).astype(np.uint8)
+        _, labels, stats, _ = cv2.connectedComponentsWithStats(
+            inter, connectivity=4)
+        sizes = stats[1:, -1]
+        omega = np.zeros_like(alpha)
+        if len(sizes) != 0:
+            omega[labels == int(np.argmax(sizes)) + 1] = 1
+        mask = (round_down_map == -1) & (omega == 0)
+        round_down_map[mask] = thresh_steps[i - 1]
+    round_down_map[round_down_map == -1] = 1
+    a_diff = alpha - round_down_map
+    p_diff = pred_alpha - round_down_map
+    a_phi = 1 - a_diff * (a_diff >= 0.15)
+    p_phi = 1 - p_diff * (p_diff >= 0.15)
+    return float(np.abs(a_phi - p_phi)[trimap == 128].sum() / 1000)
+
+
+# reference name (metrics.py:39) — kept as an alias; `matting_mse` is the
+# primary to avoid clashing with pixel-MSE in user code
+mse = matting_mse

@@ -394,3 +394,251 @@ class UnsharpMasking:
             out = [self._usm(img) for img in imgs]
             results[f"{key}_unsharp"] = out[0] if single else out
         return results
+
+
+# ---------------------------------------------------------------------------
+# Extended noise/resize zoo (random_degradations.py:342-519, 809-1044).
+# No shipped config consumes these; kept for surface completeness. The
+# PyAV/video chain (UVSRDegradation :196, RandomVideoCompression :275,
+# OldRandomNoise :520 — asserts `av` at init) is a declared non-goal
+# (SURVEY.md §7), and NorResize (:1045) is unrunnable as written
+# (undefined `img`/`self.patch_size`) — neither is rebuilt.
+# ---------------------------------------------------------------------------
+
+
+def _nonblind_concat(img, level):
+    return np.concatenate(
+        [img, np.broadcast_to(np.float32(level),
+                              (img.shape[0], img.shape[1], 1))], axis=2)
+
+
+@PIPELINES.register(name="RandomGaussianNoise")
+class RandomGaussianNoise:
+    """Per-call uniform sigma Gaussian noise; `nonblind_noise` appends the
+    sigma as an extra channel (random_degradations.py:342-384)."""
+
+    def __init__(self, params, keys):
+        self.params = params
+        self.keys = keys
+
+    def _apply(self, rng, imgs, level):
+        out = []
+        for img in imgs:
+            noisy = (img + rng.normal(0, 1, img.shape) * level
+                     ).astype(np.float32)
+            out.append(_nonblind_concat(noisy, level)
+                       if self.params.get("nonblind_noise") else noisy)
+        return out
+
+    def _level(self, rng):
+        lo, hi = self.params["gaussian_sigma"]
+        return rng.uniform(lo, hi) / 255.0
+
+    def __call__(self, results):
+        rng = _rng(results)
+        level = self._level(rng)
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            out = self._apply(rng, imgs, level)
+            results[key] = out[0] if single else out
+        return results
+
+
+@PIPELINES.register(name="RandomGaussianNoisewithPro")
+class RandomGaussianNoisewithPro(RandomGaussianNoise):
+    """Variant drawing the level from `gaussian_beta` with prob `prob`,
+    else `gaussian_sigma` (random_degradations.py:387-432)."""
+
+    def _level(self, rng):
+        key = ("gaussian_beta" if rng.uniform() < self.params["prob"]
+               else "gaussian_sigma")
+        lo, hi = self.params[key]
+        return rng.uniform(lo, hi) / 255.0
+
+
+@PIPELINES.register(name="RandomClipGaussianNoise")
+class RandomClipGaussianNoise(RandomGaussianNoise):
+    """Gaussian noise with the noisy image clipped to [0, 1]
+    (random_degradations.py:435-477)."""
+
+    def _apply(self, rng, imgs, level):
+        out = []
+        for img in imgs:
+            noisy = np.clip(img + rng.normal(0, 1, img.shape) * level,
+                            0, 1).astype(np.float32)
+            out.append(_nonblind_concat(noisy, level)
+                       if self.params.get("nonblind_noise") else noisy)
+        return out
+
+
+@PIPELINES.register(name="RandomLevel")
+class RandomLevel:
+    """Append a uniform noise-level plane as an extra channel
+    (random_degradations.py:480-517)."""
+
+    def __init__(self, params, keys):
+        self.params = params
+        self.keys = keys
+
+    def __call__(self, results):
+        rng = _rng(results)
+        level = rng.uniform(*self.params["sigma"]) / 255.0
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            out = [_nonblind_concat(img, level) for img in imgs]
+            results[key] = out[0] if single else out
+        return results
+
+
+@PIPELINES.register(name="RealRandomNoise")
+class RealRandomNoise:
+    """Shuffled gaussian/poisson/speckle/JPEG noise chain with per-frame
+    level walks (random_degradations.py:809-963). gaussian and jpeg
+    always run; poisson/speckle are gated by `other_prob`; order is
+    shuffled with prob `shuffle_prob`."""
+
+    def __init__(self, params, keys):
+        self.params = params
+        self.keys = keys
+
+    def _gaussian(self, rng, imgs):
+        p = self.params
+        lo, hi = p["gaussian_sigma"]
+        sigma = rng.uniform(lo, hi) / 255.0
+        step = p.get("gaussian_sigma_step", 0)
+        gray = rng.uniform() < p["gaussian_gray_noise_prob"]
+        out = []
+        for img in imgs:
+            shape = img.shape[:2] + (1,) if gray else img.shape
+            out.append((img + rng.normal(0, 1, shape) * sigma
+                        ).astype(np.float32))
+            sigma = np.clip(sigma + rng.uniform(-step, step) / 255.0,
+                            lo / 255.0, hi / 255.0)
+        return out
+
+    def _poisson(self, rng, imgs):
+        p = self.params
+        lo, hi = p["poisson_scale"]
+        scale = rng.uniform(lo, hi)
+        step = p.get("poisson_scale_step", 0)
+        gray = rng.uniform() < p["poisson_gray_noise_prob"]
+        out = []
+        for img in imgs:
+            base = cv2.cvtColor(img.astype(np.float32),
+                                cv2.COLOR_RGB2GRAY)[..., None] if gray \
+                else img
+            base = np.clip((base * 255.0).round(), 0, 255) / 255.0
+            vals = 2 ** np.ceil(np.log2(len(np.unique(base))))
+            noise = rng.poisson(base * vals) / vals - base
+            out.append((img + noise * scale).astype(np.float32))
+            scale = np.clip(scale + rng.uniform(-step, step), lo, hi)
+        return out
+
+    def _speckle(self, rng, imgs):
+        from scipy.linalg import orth
+        lo, hi = self.params["speckle_level"]
+        out = []
+        for img in imgs:
+            level = int(rng.integers(lo, hi + 1))
+            img = np.clip(img, 0, 1)
+            r = rng.uniform()
+            if r > 0.6:
+                img = img + img * rng.normal(0, level / 255.0, img.shape
+                                             ).astype(np.float32)
+            elif r < 0.4:
+                img = img + img * rng.normal(
+                    0, level / 255.0, (*img.shape[:2], 1)).astype(np.float32)
+            else:
+                L = hi / 255.0
+                D = np.diag(rng.random(3))
+                U = orth(rng.random((3, 3)))
+                cov = U.T @ D @ U
+                img = img + img * rng.multivariate_normal(
+                    np.zeros(3), np.abs(L ** 2 * cov), img.shape[:2]
+                ).astype(np.float32)
+            out.append(np.clip(img, 0, 1).astype(np.float32))
+        return out
+
+    def _jpeg(self, rng, imgs):
+        lo, hi = self.params["quality_range"]
+        out = []
+        for img in imgs:
+            q = int(rng.integers(lo, hi + 1))
+            u8 = (np.clip(img, 0, 1) * 255.0).round().astype(np.uint8)
+            _, buf = cv2.imencode(".jpg", u8[..., ::-1],
+                                  [int(cv2.IMWRITE_JPEG_QUALITY), q])
+            dec = cv2.imdecode(buf, cv2.IMREAD_COLOR)[..., ::-1]
+            out.append(dec.astype(np.float32) / 255.0)
+        return out
+
+    def _chain(self, rng, imgs):
+        p = self.params
+        order = list(range(len(p["noise_type"])))
+        if rng.uniform() < p["shuffle_prob"]:
+            order = list(rng.permutation(order))
+        for i in order:
+            ntype = p["noise_type"][i]
+            if ntype == "gaussian":
+                imgs = self._gaussian(rng, imgs)
+            elif ntype == "poisson":
+                if rng.uniform() < p["other_prob"]:
+                    imgs = self._poisson(rng, imgs)
+            elif ntype == "speckle":
+                if rng.uniform() < p["other_prob"]:
+                    imgs = self._speckle(rng, imgs)
+            elif ntype == "jpeg":
+                imgs = self._jpeg(rng, imgs)
+            else:
+                raise NotImplementedError(
+                    f'"noise_type" [{ntype}] is not implemented.')
+        return imgs
+
+    def __call__(self, results):
+        rng = _rng(results)
+        if rng.uniform() > self.params.get("prob", 1):
+            return results
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            out = self._chain(rng, imgs)
+            results[key] = out[0] if single else out
+        return results
+
+
+@PIPELINES.register(name="RealRandomResize")
+class RealRandomResize:
+    """Down-up (or up-down) resize round trip at a random scale and
+    interpolation, back to the original size
+    (random_degradations.py:964-1043)."""
+
+    _INTERP = dict(bilinear=cv2.INTER_LINEAR, bicubic=cv2.INTER_CUBIC,
+                   area=cv2.INTER_AREA, lanczos=cv2.INTER_LANCZOS4)
+
+    def __init__(self, params, keys):
+        self.params = params
+        self.keys = keys
+
+    def __call__(self, results):
+        rng = _rng(results)
+        p = self.params
+        if rng.uniform() > p.get("prob", 1):
+            return results
+        opt = str(rng.choice(p["resize_opt"], p=p.get("resize_prob"))).lower()
+        if opt not in self._INTERP:
+            raise NotImplementedError(f"resize_opt [{opt}] is not "
+                                      "implemented")
+        interp = self._INTERP[opt]
+        mode = rng.choice(["up", "down", "keep"], p=p["resize_mode_prob"])
+        lo, hi = p["resize_scale"]
+        scale = (rng.uniform(1, hi) if mode == "up"
+                 else rng.uniform(lo, 1) if mode == "down" else 1.0)
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            h, w = imgs[0].shape[:2]
+            h_out, w_out = h * scale, w * scale
+            if p.get("is_size_even", False):
+                h_out, w_out = 2 * (h_out // 2), 2 * (w_out // 2)
+            tgt = (int(w_out), int(h_out))
+            out = [cv2.resize(cv2.resize(img, tgt, interpolation=interp),
+                              (w, h), interpolation=interp) for img in imgs]
+            results[key] = out[0] if single else out
+        return results

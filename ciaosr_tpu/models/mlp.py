@@ -18,6 +18,7 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ciaosr_tpu.config.registry import COMPONENTS
 from ciaosr_tpu.utils.init import torch_kernel_init, torch_bias_init
@@ -68,3 +69,62 @@ class ImplicitMLP(nn.Module):
         for layer in self.layers[1:]:
             h = self._act(layer(h))
         return self.out(h)
+
+
+def positional_encoding_1d(n: int, channels: int,
+                           dtype=jnp.float32) -> jnp.ndarray:
+    """Interleaved sin/cos 1-D positional encoding, (n, channels).
+
+    Behavioral spec: PositionalEncoding1D at
+    /root/reference/mmedited/models/components/refiners/mlp_refiner.py:14-54
+    — inv_freq = 10000^(-2j/ceil(ch/2)*2), rows [sin(p·f_0), cos(p·f_0),
+    sin(p·f_1), ...] truncated to `channels`. A pure trace-time constant
+    here (the reference caches it as a buffer keyed on input shape)."""
+    ch = int(np.ceil(channels / 2) * 2)
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, ch, 2, dtype=np.float64) / ch))
+    ang = np.arange(n, dtype=np.float64)[:, None] * inv_freq[None, :]
+    emb = np.stack([np.sin(ang), np.cos(ang)], -1).reshape(n, ch)
+    return jnp.asarray(emb[:, :channels], dtype)
+
+
+@COMPONENTS.register(name="PosMLPRefiner")
+class PosMLPRefiner(nn.Module):
+    """MLP whose hidden activations get a 1-D positional encoding added
+    over the middle axis of (B, C, D) inputs.
+
+    Behavioral spec: PosMLPRefiner at
+    /root/reference/mmedited/models/components/refiners/mlp_refiner.py:
+    123-163 (Linear→ReLU→(+posenc) per hidden, final Linear). The
+    reference keeps its layers in a plain Python list, so its parameters
+    are invisible to the optimizer (SURVEY.md §2.1/§8) — a defect, not a
+    semantic; here they are registered normally.
+    """
+
+    out_dim: int
+    hidden_list: Sequence[int] = ()
+    in_dim: int | None = None
+    is_pos: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if x.ndim != 3:
+            raise ValueError("PosMLPRefiner expects (B, C, D) inputs, got "
+                             f"{x.shape}")
+        dims = list(self.hidden_list)
+        fan_ins = [self.in_dim] + dims[:-1] if dims else []
+        for i, h in enumerate(dims):
+            x = nn.Dense(h, kernel_init=torch_kernel_init,
+                         bias_init=torch_bias_init(fan_ins[i])
+                         if fan_ins[i] else nn.initializers.zeros,
+                         dtype=self.dtype, name=f"layers_{i}")(x)
+            x = nn.relu(x)
+            if self.is_pos:
+                # reference adds the encoding of x's OWN values' shape —
+                # shape-only, so a trace-time constant per position
+                x = x + positional_encoding_1d(x.shape[1], x.shape[-1],
+                                               x.dtype)[None]
+        out_fan = dims[-1] if dims else (self.in_dim or 1)
+        return nn.Dense(self.out_dim, kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(out_fan),
+                        dtype=self.dtype, name="out")(x)

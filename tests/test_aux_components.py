@@ -1,0 +1,184 @@
+"""Auxiliary reference-surface components: PosMLPRefiner and matting
+metrics (SURVEY.md §2.1, §2.7 — listed inventory with no live config
+consumers; validated against torch/numpy oracles here)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ciaosr_tpu.core import metrics as M
+from ciaosr_tpu.models.mlp import (PosMLPRefiner, positional_encoding_1d)
+
+
+def test_positional_encoding_matches_reference_formula():
+    """Interleaved sin/cos with inv_freq = 10000^(-2j/ch)
+    (mlp_refiner.py:14-54), torch oracle."""
+    import torch
+    n, ch = 32, 10
+    got = np.asarray(positional_encoding_1d(n, ch))
+    channels = int(np.ceil(ch / 2) * 2)
+    inv_freq = 1.0 / (10000 ** (torch.arange(0, channels, 2).float()
+                                / channels))
+    pos = torch.arange(n).float()
+    ang = torch.einsum("i,j->ij", pos, inv_freq)
+    emb = torch.flatten(torch.stack((ang.sin(), ang.cos()), -1), -2, -1)
+    np.testing.assert_allclose(got, emb[:, :ch].numpy(), atol=1e-6)
+
+
+def test_pos_mlp_refiner_math_and_param_registration():
+    """Linear→ReLU→(+posenc) per hidden → Linear, and — unlike the
+    reference, whose plain-list layers hide params from the optimizer
+    (SURVEY.md §8) — every Dense must appear in the param tree."""
+    m = PosMLPRefiner(out_dim=5, hidden_list=[8, 6], in_dim=7)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 4, 7), np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert set(params["params"]) == {"layers_0", "layers_1", "out"}
+
+    p = jax.tree.map(np.asarray, params["params"])
+    h = np.asarray(x)
+    for i, name in enumerate(["layers_0", "layers_1"]):
+        h = h @ p[name]["kernel"] + p[name]["bias"]
+        h = np.maximum(h, 0)
+        h = h + np.asarray(positional_encoding_1d(h.shape[1],
+                                                  h.shape[-1]))[None]
+    want = h @ p["out"]["kernel"] + p["out"]["bias"]
+    got = np.asarray(m.apply(params, x))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        m.apply(params, x[0])  # must be (B, C, D)
+
+
+@pytest.fixture()
+def matte():
+    rng = np.random.default_rng(0)
+    alpha = (rng.random((40, 40)) * 255).astype(np.uint8)
+    trimap = np.full((40, 40), 128, np.uint8)
+    trimap[:8] = 0
+    trimap[-8:] = 255
+    alpha = alpha.astype(np.float64)
+    alpha[trimap == 0] = 0
+    alpha[trimap == 255] = 255
+    return alpha, trimap
+
+
+def test_matting_metrics_zero_for_perfect_pred(matte):
+    alpha, trimap = matte
+    assert M.sad(alpha, trimap, alpha) == pytest.approx(0)
+    assert M.matting_mse(alpha, trimap, alpha) == pytest.approx(0)
+    assert M.gradient_error(alpha, trimap, alpha) == pytest.approx(0)
+    assert M.connectivity(alpha, trimap, alpha) == pytest.approx(0)
+    assert M.mse is M.matting_mse  # reference-name alias
+
+
+def test_matting_metrics_known_values(matte):
+    alpha, trimap = matte
+    pred = alpha.copy()
+    pred[trimap == 128] = np.clip(pred[trimap == 128] + 25.5, 0, 255)
+    n_unknown = (trimap == 128).sum()
+    # sad: sum|Δ|/255/1000 over changed pixels (clipping keeps Δ ≤ 0.1)
+    delta = np.abs(pred - alpha) / 255
+    assert M.sad(alpha, trimap, pred) == pytest.approx(
+        delta.sum() / 1000, rel=1e-6)
+    assert M.matting_mse(alpha, trimap, pred) == pytest.approx(
+        (delta ** 2).sum() / n_unknown, rel=1e-6)
+    assert M.gradient_error(alpha, trimap, pred) >= 0
+    assert M.connectivity(alpha, trimap, pred) >= 0
+
+
+def test_matting_metrics_reject_unmasked_pred(matte):
+    alpha, trimap = matte
+    bad = alpha.copy()
+    bad[trimap == 0] = 3  # not masked by trimap
+    with pytest.raises((ValueError, AssertionError)):
+        M.gradient_error(alpha, trimap, bad)
+    with pytest.raises((ValueError, AssertionError)):
+        M.connectivity(alpha, trimap, bad)
+
+
+# ---------------------------------------------------------------------------
+# Extended degradation zoo (SURVEY.md §2.4 non-live rows)
+# ---------------------------------------------------------------------------
+
+def _zoo_ops():
+    from ciaosr_tpu.data.degradations import (
+        RandomClipGaussianNoise, RandomGaussianNoise,
+        RandomGaussianNoisewithPro, RandomLevel, RealRandomNoise,
+        RealRandomResize)
+    return (RandomGaussianNoise, RandomGaussianNoisewithPro,
+            RandomClipGaussianNoise, RandomLevel, RealRandomNoise,
+            RealRandomResize)
+
+
+def test_gaussian_noise_family():
+    (RGN, RGNP, RCGN, RL, _, _) = _zoo_ops()
+    img = np.full((64, 64, 3), 0.5, np.float32)
+    res = {"lq": img, "_rng": np.random.default_rng(0)}
+
+    out = RGN(dict(gaussian_sigma=[10, 10]), ["lq"])(dict(res))["lq"]
+    assert out.shape == img.shape
+    assert abs(np.std(out - img) - 10 / 255) < 2e-3
+
+    # nonblind: appends the sigma plane as a 4th channel
+    out = RGN(dict(gaussian_sigma=[10, 10], nonblind_noise=True),
+              ["lq"])(dict(res))["lq"]
+    assert out.shape == (64, 64, 4)
+    np.testing.assert_allclose(out[..., 3], 10 / 255, atol=1e-6)
+
+    # withPro: prob=1 draws from gaussian_beta instead
+    out = RGNP(dict(gaussian_sigma=[0, 0], gaussian_beta=[25.5, 25.5],
+                    prob=1.0), ["lq"])(dict(res))["lq"]
+    assert abs(np.std(out - img) - 0.1) < 5e-3
+
+    # clip variant stays in [0, 1]
+    out = RCGN(dict(gaussian_sigma=[200, 200]), ["lq"])(dict(res))["lq"]
+    assert out.min() >= 0 and out.max() <= 1
+
+    # RandomLevel only concatenates the level plane
+    out = RL(dict(sigma=[51, 51]), ["lq"])(dict(res))["lq"]
+    assert out.shape == (64, 64, 4)
+    np.testing.assert_allclose(out[..., :3], img)
+    np.testing.assert_allclose(out[..., 3], 0.2, atol=1e-6)
+
+
+@pytest.mark.parametrize("shuffle_prob", [0.0, 1.0])
+def test_real_random_noise_chain(shuffle_prob):
+    (_, _, _, _, RRN, _) = _zoo_ops()
+    rng = np.random.default_rng(3)
+    img = np.clip(rng.random((24, 24, 3)), 0, 1).astype(np.float32)
+    op = RRN(dict(noise_type=["gaussian", "poisson", "speckle", "jpeg"],
+                  gaussian_sigma=[5, 20], gaussian_gray_noise_prob=0.5,
+                  gaussian_sigma_step=2, poisson_scale=[0.5, 2],
+                  poisson_gray_noise_prob=0.5, speckle_level=[5, 20],
+                  quality_range=[60, 95], other_prob=1.0,
+                  shuffle_prob=shuffle_prob), ["lq"])
+    for seed in range(4):
+        out = op({"lq": img, "_rng": np.random.default_rng(seed)})["lq"]
+        assert out.shape == img.shape
+        assert np.isfinite(out).all()
+        assert not np.allclose(out, img)  # something was applied
+
+    with pytest.raises(NotImplementedError):
+        RRN(dict(noise_type=["isp"], shuffle_prob=0, other_prob=1),
+            ["lq"])({"lq": img, "_rng": np.random.default_rng(0)})
+
+
+def test_real_random_resize_round_trip():
+    (_, _, _, _, _, RRR) = _zoo_ops()
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 48, 3)).astype(np.float32)
+    op = RRR(dict(resize_opt=["bilinear", "bicubic", "area"],
+                  resize_prob=[1 / 3] * 3, resize_mode_prob=[0.4, 0.4, 0.2],
+                  resize_scale=[0.5, 1.5]), ["lq"])
+    for seed in range(6):
+        out = op({"lq": img, "_rng": np.random.default_rng(seed)})["lq"]
+        assert out.shape == img.shape  # always resized back
+
+    # keep-mode (prob 1 on 'keep') is an exact no-op scale
+    op = RRR(dict(resize_opt=["bilinear"], resize_prob=[1.0],
+                  resize_mode_prob=[0, 0, 1.0], resize_scale=[0.5, 1.5]),
+             ["lq"])
+    out = op({"lq": img, "_rng": np.random.default_rng(0)})["lq"]
+    assert out.shape == img.shape

@@ -23,6 +23,7 @@ from typing import Any, Sequence
 
 import numpy as np
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ciaosr_tpu.config.registry import BACKBONES
@@ -97,6 +98,25 @@ class DenseParams(nn.Module):
         return y
 
 
+class LNParams(nn.Module):
+    """nn.LayerNorm-equivalent (same param tree: scale/bias) exposing its
+    parameters as attributes for fused kernels."""
+
+    dim: int
+    epsilon: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(-1, keepdims=True)
+        var = jnp.square(x32 - mu).mean(-1, keepdims=True)
+        y = (x32 - mu) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * self.scale + self.bias).astype(x.dtype)
+
+
 class WindowAttention(nn.Module):
     dim: int
     window_size: int
@@ -112,8 +132,17 @@ class WindowAttention(nn.Module):
             "relative_position_bias_table", trunc_init,
             ((2 * self.window_size - 1) ** 2, self.num_heads))
 
-    def _bias(self, n: int) -> jnp.ndarray:
-        idx = _rel_pos_index(self.window_size).reshape(-1)
+    def _bias(self, ws: int) -> jnp.ndarray:
+        """(heads, ws², ws²) bias for a runtime window of ws ≤ the
+        configured window_size: same relative-displacement keys, gathered
+        from the full-size table."""
+        full = self.window_size
+        coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
+                                      indexing="ij")).reshape(2, -1)
+        rel = coords[:, :, None] - coords[:, None, :]
+        idx = ((rel[0] + full - 1) * (2 * full - 1)
+               + (rel[1] + full - 1)).reshape(-1)
+        n = ws * ws
         return self.relative_position_bias_table[idx].reshape(
             n, n, self.num_heads).transpose(2, 0, 1)       # (heads, N, N)
 
@@ -123,17 +152,16 @@ class WindowAttention(nn.Module):
         heads = self.num_heads
         head_dim = c // heads
         scale = head_dim ** -0.5
+        ws = int(round(n ** 0.5))
 
         if flash:
             # fused Pallas kernel (forward-only — eval paths opt in)
-            import jax
-
             from ciaosr_tpu.ops.pallas.window_attention import (
                 window_attention_fused)
             out = window_attention_fused(
                 x, self.qkv.kernel,
                 self.qkv.bias if self.qkv_bias else None,
-                self.proj.kernel, self.proj.bias, self._bias(n), mask,
+                self.proj.kernel, self.proj.bias, self._bias(ws), mask,
                 heads, interpret=jax.default_backend() == "cpu")
             return out.astype(self.dtype or x.dtype)
 
@@ -143,7 +171,7 @@ class WindowAttention(nn.Module):
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32)
-        attn = attn + self._bias(n)[None]
+        attn = attn + self._bias(ws)[None]
 
         if mask is not None:
             nw = mask.shape[0]
@@ -168,7 +196,16 @@ class SwinBlock(nn.Module):
     qkv_bias: bool = True
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.norm1 = LNParams(self.dim, name="norm1")
+        self.attn = WindowAttention(self.dim, self.window_size,
+                                    self.num_heads, self.qkv_bias,
+                                    dtype=self.dtype, name="attn")
+        self.norm2 = LNParams(self.dim, name="norm2")
+        hidden = int(self.dim * self.mlp_ratio)
+        self.mlp_fc1 = DenseParams(self.dim, hidden, name="mlp_fc1")
+        self.mlp_fc2 = DenseParams(hidden, self.dim, name="mlp_fc2")
+
     def __call__(self, x: jnp.ndarray, x_size: tuple[int, int],
                  flash: bool = False):
         h, w = x_size
@@ -178,29 +215,53 @@ class SwinBlock(nn.Module):
         if min(h, w) <= self.window_size:
             shift = 0
 
+        if flash and h % ws == 0 and w % ws == 0:
+            return self._fused(x, h, w, ws, shift)
+
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        x = self.norm1(x)
         x = x.reshape(b, h, w, c)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         windows = window_partition(x, ws)
         mask = _attn_mask(h, w, ws, shift)
-        attn_out = WindowAttention(self.dim, ws, self.num_heads,
-                                   self.qkv_bias, dtype=self.dtype,
-                                   name="attn")(windows, mask, flash)
+        attn_out = self.attn(windows, mask, flash)
         x = window_reverse(attn_out, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
         x = shortcut + x.reshape(b, n, c)
 
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        hidden = int(c * self.mlp_ratio)
-        y = nn.Dense(hidden, kernel_init=trunc_init, dtype=self.dtype,
-                     bias_init=nn.initializers.zeros, name="mlp_fc1")(y)
+        y = self.norm2(x)
+        y = self.mlp_fc1(y, dtype=self.dtype)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(c, kernel_init=trunc_init, dtype=self.dtype,
-                     bias_init=nn.initializers.zeros, name="mlp_fc2")(y)
+        y = self.mlp_fc2(y, dtype=self.dtype)
         return x + y
+
+    def _fused(self, x: jnp.ndarray, h: int, w: int, ws: int, shift: int):
+        """Whole block (LN1→attn→res→LN2→MLP→res) in one Pallas kernel.
+        The cyclic shift stays out here: every op in the block is
+        per-token or per-(rolled-)window, so the block commutes with the
+        roll (see ops/pallas/swin_block.py)."""
+        from ciaosr_tpu.ops.pallas.swin_block import swin_block_fused
+        b, n, c = x.shape
+        xi = x.reshape(b, h, w, c)
+        if shift > 0:
+            xi = jnp.roll(xi, (-shift, -shift), axis=(1, 2))
+        mask = _attn_mask(h, w, ws, shift)
+        y = swin_block_fused(
+            xi, (self.norm1.scale, self.norm1.bias),
+            self.attn.qkv.kernel,
+            self.attn.qkv.bias if self.qkv_bias else None,
+            self.attn.proj.kernel, self.attn.proj.bias,
+            self.attn._bias(ws), mask,
+            (self.norm2.scale, self.norm2.bias),
+            self.mlp_fc1.kernel, self.mlp_fc1.bias,
+            self.mlp_fc2.kernel, self.mlp_fc2.bias,
+            self.num_heads, ws,
+            interpret=jax.default_backend() == "cpu")
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        return y.reshape(b, n, c).astype(x.dtype)
 
 
 class RSTB(nn.Module):

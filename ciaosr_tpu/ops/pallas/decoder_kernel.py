@@ -61,14 +61,16 @@ def _mlp_tail(h, weights, prefix, n_hidden):
         + weights[f"{prefix}_bout"]
 
 
-def _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, q_ref,
-                   rely_ref, relx_ref, w_refs, out_ref, *, n_shift,
-                   n_hidden, softmax_scale, rows, width, dk, dc):
+def _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, wt_refs,
+                   ck_refs, q_ref, rely_ref, relx_ref, w_refs, out_ref, *,
+                   n_shift, n_hidden, softmax_scale, rows, width, dk, dc,
+                   hoist_kout):
     n = rows * width
     weights = {k: r[...] for k, r in w_refs.items()}
     hk = weights["k_b0"].shape[-1]
 
-    q = q_ref[0].reshape(n, dk).astype(jnp.bfloat16)
+    if not hoist_kout:
+        q = q_ref[0].reshape(n, dk).astype(jnp.bfloat16)
 
     logits = []
     pred_as = []
@@ -103,7 +105,6 @@ def _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, q_ref,
         h_k = jnp.maximum(pre_k + rc_k + weights["k_b0"], 0.0)
         h_v = jnp.maximum(pre_v + rc_v + weights["v_b0"], 0.0)
 
-        wk = _mlp_tail(h_k, weights, "k", n_hidden)      # (N, DK) f32
         hv_last = _mlp_hidden(h_v, weights, "v",
                               n_hidden).astype(jnp.bfloat16)
         # value modulation, split: lanes [0,DK) of the value features are
@@ -111,9 +112,25 @@ def _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, q_ref,
         # the CSA extension plane
         wv_a = _mm(hv_last, weights["v_wouta"]) + weights["v_bouta"]
 
-        pred_k = x_k.astype(jnp.float32) * wk
-        logits.append(jnp.sum(q.astype(jnp.float32) * pred_k, axis=-1,
-                              keepdims=True))
+        if hoist_kout:
+            # hoisted k-out layer (module docstring): logits = w̃·h + c
+            # with w̃ = (q⊙key)@W_kout, c = (q⊙key)·b_kout computed per
+            # image outside — the DK-wide out matmul and the query input
+            # vanish. Wins for narrow features (RDN/EDSR, DK=576); for
+            # SwinIR (DK=1620) the added w̃ plane traffic costs more than
+            # the FLOP cut saves, so the classic path is kept (gate in
+            # grid_decode_fused).
+            hk_last = _mlp_hidden(h_k, weights, "k", n_hidden)  # (N, 256)
+            wt = wt_refs[s][0].reshape(n, -1).astype(jnp.float32)
+            ck = jnp.sum(ck_refs[s][0].reshape(n, 8), axis=-1,
+                         keepdims=True)                   # lanes 1..7 zero
+            logits.append(jnp.sum(wt * hk_last, axis=-1, keepdims=True)
+                          + ck)
+        else:
+            wk = _mlp_tail(h_k, weights, "k", n_hidden)   # (N, DK) f32
+            pred_k = x_k.astype(jnp.float32) * wk
+            logits.append(jnp.sum(q.astype(jnp.float32) * pred_k, axis=-1,
+                                  keepdims=True))
         # bf16 storage (VMEM budget); the blend below accumulates in f32
         pred_as.append((x_k.astype(jnp.float32) * wv_a).astype(jnp.bfloat16))
         if dc:
@@ -171,7 +188,7 @@ def _split_first_layer(params, main_dim):
 
 
 def _pack_weights(mlp_params, prefix, main_dim, cell_val, n_hidden,
-                  with_rc=True, pad_out=False):
+                  with_rc=True, pad_out=False, with_out=True):
     out = {}
     if with_rc:
         # w0 (the feature block) is NOT packed: its matmul is hoisted out
@@ -191,21 +208,23 @@ def _pack_weights(mlp_params, prefix, main_dim, cell_val, n_hidden,
             jnp.bfloat16)
         out[f"{prefix}_b{i}"] = mlp_params[f"layers_{i}"]["bias"].astype(
             jnp.float32)
-    wout = mlp_params["out"]["kernel"].astype(jnp.bfloat16)
-    bout = mlp_params["out"]["bias"].astype(jnp.float32)
-    if pad_out and wout.shape[-1] % 128:
-        pad = 128 - wout.shape[-1] % 128
-        wout = jnp.pad(wout, ((0, 0), (0, pad)))
-        bout = jnp.pad(bout, (0, pad))
-    out[f"{prefix}_wout"] = wout
-    out[f"{prefix}_bout"] = bout
+    if with_out:
+        wout = mlp_params["out"]["kernel"].astype(jnp.bfloat16)
+        bout = mlp_params["out"]["bias"].astype(jnp.float32)
+        if pad_out and wout.shape[-1] % 128:
+            pad = 128 - wout.shape[-1] % 128
+            wout = jnp.pad(wout, ((0, 0), (0, pad)))
+            bout = jnp.pad(bout, (0, pad))
+        out[f"{prefix}_wout"] = wout
+        out[f"{prefix}_bout"] = bout
     return out
 
 
 def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
                       params: dict, scale: int, local_size: int,
                       softmax_scale: float, rows: int = 4,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      hoist_kout: bool | None = None) -> jnp.ndarray:
     """Run the fused decoder over all phases.
 
     u_map: (B,H,W,DK) unfolded features (bf16 ok); csa_map: optional
@@ -230,6 +249,25 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
     u9 = _shift_planes(u_map.astype(jnp.bfloat16))
     c9 = _shift_planes(csa_map.astype(jnp.bfloat16)) if dc else None
     query = u_map.astype(jnp.bfloat16)
+
+    # hoisted imnet_k OUT layer: logits = (q⊙key)·(W_kout h + b_kout)
+    #                                   = [(q⊙key)@W_kout]·h + (q⊙key)·b,
+    # and q⊙key is phase-independent → one matmul per shift plane per
+    # image replaces the in-kernel 256→DK out matmul + DK-wide multiply
+    # and dot per (pixel, phase, shift) (~s²× the FLOPs). Measured: wins
+    # for DK=576 (RDN/EDSR); loses for DK=1620 (SwinIR — added plane
+    # traffic beats the FLOP cut), hence the width gate.
+    if hoist_kout is None:
+        hoist_kout = dk <= 1024
+    if hoist_kout:
+        w_kout_t = params["imnet_k"]["out"]["kernel"].T.astype(jnp.bfloat16)
+        b_kout = params["imnet_k"]["out"]["bias"].astype(jnp.float32)
+        q_rep = jnp.repeat(query, 9, axis=0)
+        qk9 = (u9 * q_rep).reshape(-1, dk)                # (B·9·H·W, DK)
+        wt9 = _mm(qk9, w_kout_t).reshape(bsz * 9, h, w, -1).astype(
+            jnp.bfloat16)                                 # (B·9,H,W,256)
+        ck9 = (qk9.astype(jnp.float32) @ b_kout).reshape(bsz * 9, h, w, 1)
+        ck9 = jnp.pad(ck9, ((0, 0), (0, 0), (0, 0), (0, 7)))  # 8 lanes
 
     # hoisted first-layer feature matmuls (shift-equivariant, phase-
     # independent — one pass per image serves all s²·n_shift kernel
@@ -277,7 +315,7 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
 
     weights = {}
     weights.update(_pack_weights(params["imnet_k"], "k", dk, cell_val,
-                                 n_hidden))
+                                 n_hidden, with_out=not hoist_kout))
     weights.update(_pack_weights(params["imnet_v"], "v", dv, cell_val,
                                  n_hidden))
     weights.update(_pack_weights(params["imnet_q"], "q", dv, cell_val,
@@ -322,7 +360,11 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
             *([sel_spec(dc, si) for si in range(n_shift)] if dc else []),
             *[sel_spec(hidden_k, si) for si in range(n_shift)],
             *[sel_spec(hidden_v, si) for si in range(n_shift)],
-            pl.BlockSpec((1, rows, w, dk), lambda b, p, i, sref: (b, i, 0, 0)),
+            *([sel_spec(wt9.shape[-1], si) for si in range(n_shift)]
+              + [sel_spec(8, si) for si in range(n_shift)]
+              if hoist_kout else
+              [pl.BlockSpec((1, rows, w, dk),
+                            lambda b, p, i, sref: (b, i, 0, 0))]),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # rely (P,S,H)
             pl.BlockSpec((1, n_shift, w), lambda b, p, i, sref: (p, 0, 0)),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w_names],
@@ -339,24 +381,37 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
         c_refs = refs[n_shift:n_shift + n_c]
         gk_refs = refs[n_shift + n_c:2 * n_shift + n_c]
         gv_refs = refs[2 * n_shift + n_c:3 * n_shift + n_c]
-        rest = refs[3 * n_shift + n_c:]
-        q_ref, rely_ref, relx_ref = rest[0], rest[1], rest[2]
-        w_refs = dict(zip(w_names, rest[3:3 + len(w_names)]))
+        pos = 3 * n_shift + n_c
+        if hoist_kout:
+            wt_refs = refs[pos:pos + n_shift]
+            ck_refs = refs[pos + n_shift:pos + 2 * n_shift]
+            q_ref = None
+            pos += 2 * n_shift
+        else:
+            wt_refs = ck_refs = None
+            q_ref = refs[pos]
+            pos += 1
+        rest = refs[pos:]
+        rely_ref, relx_ref = rest[0], rest[1]
+        w_refs = dict(zip(w_names, rest[2:2 + len(w_names)]))
         out_ref = refs[-1]
-        _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, q_ref,
-                       rely_ref, relx_ref, w_refs, out_ref, n_shift=n_shift,
-                       n_hidden=n_hidden, softmax_scale=softmax_scale,
-                       rows=rows, width=w, dk=dk, dc=dc)
+        _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, wt_refs,
+                       ck_refs, q_ref, rely_ref, relx_ref, w_refs, out_ref,
+                       n_shift=n_shift, n_hidden=n_hidden,
+                       softmax_scale=softmax_scale, rows=rows, width=w,
+                       dk=dk, dc=dc, hoist_kout=hoist_kout)
 
-    # first-layer feature matmuls hoisted → only MLP tails run in-kernel
-    mlp_flops = ((n_hidden - 1) * 256 * 256 + 256 * dk
+    # first-layer feature matmuls (and for narrow DK the k-out layer)
+    # hoisted → mostly MLP tails run in-kernel
+    mlp_flops = ((n_hidden - 1) * 256 * 256
+                 + (0 if hoist_kout else 256 * dk)
                  + (n_hidden - 1) * 256 * 256 + 256 * dv)
     cost = pl.CostEstimate(
         flops=2 * bsz * n_phase * h * w * (n_shift * mlp_flops
                                            + dv * 256
                                            + (n_hidden - 1) * 65536),
         bytes_accessed=bsz * n_phase * h * w
-        * (dk + dc + hidden_k + hidden_v) * 2 * (n_shift + 1),
+        * (dk + dc + 2 * hidden_k + hidden_v) * 2 * (n_shift + 1),
         transcendentals=bsz * n_phase * h * w * n_shift)
 
     out = pl.pallas_call(
@@ -371,7 +426,8 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
         interpret=interpret,
     )(jnp.asarray(sel), *([u9] * n_shift),
       *([c9] * n_shift if dc else []),
-      *([gk9] * n_shift), *([gv9] * n_shift), query,
+      *([gk9] * n_shift), *([gv9] * n_shift),
+      *([wt9] * n_shift + [ck9] * n_shift if hoist_kout else [query]),
       jnp.asarray(rely), jnp.asarray(relx),
       *[weights[k] for k in w_names])
     return out[..., :3]

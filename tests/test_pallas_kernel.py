@@ -18,10 +18,15 @@ from ciaosr_tpu.ops.pallas.decoder_kernel import grid_decode_fused
 from ciaosr_tpu.ops.sampling import interpolate_bilinear
 
 
-@pytest.mark.parametrize("scale,non_local,batch", [(2, True, 1),
-                                                   (3, True, 2),
-                                                   (4, False, 1)])
-def test_fused_kernel_matches_grid_path(rng, scale, non_local, batch):
+@pytest.mark.parametrize("scale,non_local,batch,hoist",
+                         [(2, True, 1, None),
+                          (3, True, 2, None),
+                          (4, False, 1, None),
+                          # wide-DK (SwinIR-sized) code path: k-out layer
+                          # NOT hoisted
+                          (2, True, 1, False)])
+def test_fused_kernel_matches_grid_path(rng, scale, non_local, batch,
+                                        hoist):
     net = build_generator(dict(
         type="LocalImplicitSRRDN",
         encoder=dict(type="RDN", in_channels=3, mid_channels=16,
@@ -44,7 +49,7 @@ def test_fused_kernel_matches_grid_path(rng, scale, non_local, batch):
         csa_map = None
     phases = grid_decode_fused(u, csa_map, params["params"], scale=scale,
                                local_size=2, softmax_scale=1.0, rows=2,
-                               interpret=True)
+                               interpret=True, hoist_kout=hoist)
     h, w = 8, 10
     img = phases.reshape(batch, scale, scale, h, w, 3).transpose(
         0, 3, 1, 4, 2, 5).reshape(batch, scale * h, scale * w, 3)

@@ -94,8 +94,8 @@ class CiaoSRNet(nn.Module):
 
     def gen_feature(self, x: jnp.ndarray, flash: bool = False) -> jnp.ndarray:
         """Encoder trunk features, NHWC. flash=True routes SwinIR window
-        attention through the fused Pallas kernel (forward-only — eval
-        paths opt in via use_pallas)."""
+        attention through the fused whole-block Pallas kernel
+        (forward-only — eval paths opt in via use_pallas)."""
         from ciaosr_tpu.models.swinir import SwinIREncoder
         if flash and isinstance(self.encoder, SwinIREncoder):
             return self.encoder(x, flash=True)

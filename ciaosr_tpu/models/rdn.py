@@ -105,6 +105,12 @@ class ResidualDenseBlock(nn.Module):
             kernel_size=1, dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # NOTE: a fully fused whole-RDB Pallas kernel (8-row bands + 8-px
+        # halo holding every dense slice in VMEM) measured 3× SLOWER than
+        # this XLA slice-sum path: an 8-conv-deep fusion needs an 8-px
+        # halo, i.e. 24×208 compute per 8×192 output band (3.25×
+        # redundant), and VMEM caps the band size. Deep conv chains don't
+        # halo-fuse profitably at these shapes; see docs/PERF_NOTES.md.
         cdt = self.dtype or x.dtype
         g = self.channel_growth
         slices = [x]

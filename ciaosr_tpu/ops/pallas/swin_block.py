@@ -158,7 +158,7 @@ def _swin_block_call(x, g1, b1, wq, bq, wk, bk, wv, bv, wp, bp, bias,
         out_shape=jax.ShapeDtypeStruct((b * n_rows, ws, w, c), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         cost_estimate=cost,
         interpret=interpret,
     )(kinds, xr.astype(jnp.float32),

@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--gpu-collect", action="store_true",
                    help="accepted for reference-CLI parity; result "
                         "gathering always uses process_allgather")
+    p.add_argument("--local_rank", type=int, default=0,
+                   help="accepted for reference-CLI parity (the torch "
+                        "launcher injects it); process identity comes from "
+                        "jax.distributed here")
     p.add_argument("--tmpdir",
                    help="accepted for reference-CLI parity; unused")
     p.add_argument("--split", default="test", choices=["test", "val"])

@@ -436,8 +436,10 @@ class RandomGaussianNoise:
 
     def __call__(self, results):
         rng = _rng(results)
-        level = self._level(rng)
         for key in self.keys:
+            # fresh level per key (the reference calls its per-key apply
+            # method once per key, random_degradations.py:376-378)
+            level = self._level(rng)
             imgs, single = _as_list(results[key])
             out = self._apply(rng, imgs, level)
             results[key] = out[0] if single else out
@@ -482,8 +484,9 @@ class RandomLevel:
 
     def __call__(self, results):
         rng = _rng(results)
-        level = rng.uniform(*self.params["sigma"]) / 255.0
         for key in self.keys:
+            # fresh level per key (reference _apply_level per key)
+            level = rng.uniform(*self.params["sigma"]) / 255.0
             imgs, single = _as_list(results[key])
             out = [_nonblind_concat(img, level) for img in imgs]
             results[key] = out[0] if single else out

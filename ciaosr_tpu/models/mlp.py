@@ -112,7 +112,8 @@ class PosMLPRefiner(nn.Module):
             raise ValueError("PosMLPRefiner expects (B, C, D) inputs, got "
                              f"{x.shape}")
         dims = list(self.hidden_list)
-        fan_ins = [self.in_dim] + dims[:-1] if dims else []
+        in_dim = self.in_dim or x.shape[-1]   # compact: fan-in is knowable
+        fan_ins = [in_dim] + dims[:-1] if dims else []
         for i, h in enumerate(dims):
             x = nn.Dense(h, kernel_init=torch_kernel_init,
                          bias_init=torch_bias_init(fan_ins[i])
@@ -124,7 +125,7 @@ class PosMLPRefiner(nn.Module):
                 # shape-only, so a trace-time constant per position
                 x = x + positional_encoding_1d(x.shape[1], x.shape[-1],
                                                x.dtype)[None]
-        out_fan = dims[-1] if dims else (self.in_dim or 1)
+        out_fan = dims[-1] if dims else in_dim
         return nn.Dense(self.out_dim, kernel_init=torch_kernel_init,
                         bias_init=torch_bias_init(out_fan),
                         dtype=self.dtype, name="out")(x)

@@ -32,19 +32,6 @@ from ciaosr_tpu.utils.init import torch_bias_init
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
-def _rel_pos_index(ws: int) -> np.ndarray:
-    """Relative position index for a ws×ws window → (ws², ws²) int."""
-    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws),
-                                  indexing="ij"))       # (2, ws, ws)
-    flat = coords.reshape(2, -1)
-    rel = flat[:, :, None] - flat[:, None, :]            # (2, N, N)
-    rel = rel.transpose(1, 2, 0).astype(np.int64)
-    rel[:, :, 0] += ws - 1
-    rel[:, :, 1] += ws - 1
-    rel[:, :, 0] *= 2 * ws - 1
-    return rel.sum(-1)                                   # (N, N)
-
-
 def _attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray | None:
     """Shifted-window attention mask, computed at trace time
     (swinir_net.py:222-240 semantics). Returns (nW, N, N) float or None."""
@@ -146,24 +133,12 @@ class WindowAttention(nn.Module):
         return self.relative_position_bias_table[idx].reshape(
             n, n, self.num_heads).transpose(2, 0, 1)       # (heads, N, N)
 
-    def __call__(self, x: jnp.ndarray, mask: np.ndarray | None,
-                 flash: bool = False):
+    def __call__(self, x: jnp.ndarray, mask: np.ndarray | None):
         bw, n, c = x.shape
         heads = self.num_heads
         head_dim = c // heads
         scale = head_dim ** -0.5
         ws = int(round(n ** 0.5))
-
-        if flash:
-            # fused Pallas kernel (forward-only — eval paths opt in)
-            from ciaosr_tpu.ops.pallas.window_attention import (
-                window_attention_fused)
-            out = window_attention_fused(
-                x, self.qkv.kernel,
-                self.qkv.bias if self.qkv_bias else None,
-                self.proj.kernel, self.proj.bias, self._bias(ws), mask,
-                heads, interpret=jax.default_backend() == "cpu")
-            return out.astype(self.dtype or x.dtype)
 
         qkv = self.qkv(x, dtype=self.dtype)
         qkv = qkv.reshape(bw, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
@@ -225,7 +200,7 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         windows = window_partition(x, ws)
         mask = _attn_mask(h, w, ws, shift)
-        attn_out = self.attn(windows, mask, flash)
+        attn_out = self.attn(windows, mask)
         x = window_reverse(attn_out, ws, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))

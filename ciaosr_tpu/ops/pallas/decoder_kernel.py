@@ -266,7 +266,10 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
         qk9 = (u9 * q_rep).reshape(-1, dk)                # (B·9·H·W, DK)
         wt9 = _mm(qk9, w_kout_t).reshape(bsz * 9, h, w, -1).astype(
             jnp.bfloat16)                                 # (B·9,H,W,256)
-        ck9 = (qk9.astype(jnp.float32) @ b_kout).reshape(bsz * 9, h, w, 1)
+        # matvec as a bf16-in/f32-accum matmul — an f32 cast of qk9 here
+        # would materialize the 9×-expanded DK-wide product at 4 B/elem
+        ck9 = _mm(qk9, b_kout.astype(jnp.bfloat16)[:, None]).reshape(
+            bsz * 9, h, w, 1)
         ck9 = jnp.pad(ck9, ((0, 0), (0, 0), (0, 0), (0, 7)))  # 8 lanes
 
     # hoisted first-layer feature matmuls (shift-equivariant, phase-
@@ -406,12 +409,14 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
     mlp_flops = ((n_hidden - 1) * 256 * 256
                  + (0 if hoist_kout else 256 * dk)
                  + (n_hidden - 1) * 256 * 256 + 256 * dv)
+    per_shift_lanes = dk + dc + hidden_k + hidden_v \
+        + (hidden_k + 8 if hoist_kout else 0)
     cost = pl.CostEstimate(
         flops=2 * bsz * n_phase * h * w * (n_shift * mlp_flops
                                            + dv * 256
                                            + (n_hidden - 1) * 65536),
         bytes_accessed=bsz * n_phase * h * w
-        * (dk + dc + 2 * hidden_k + hidden_v) * 2 * (n_shift + 1),
+        * (per_shift_lanes * n_shift + (0 if hoist_kout else dk)) * 2,
         transcendentals=bsz * n_phase * h * w * n_shift)
 
     out = pl.pallas_call(

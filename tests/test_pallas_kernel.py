@@ -101,10 +101,10 @@ def test_csa_attention_matches_softmax(rng, p, l):
                                atol=1e-4, rtol=1e-4)
 
 
-def test_fused_window_attention_matches_einsum(rng):
-    """SwinIR encoder with flash window attention (interpret mode) matches
-    the einsum path, including shifted blocks (mask kinds) and reflect
-    padding to window multiples."""
+def test_fused_swin_block_matches_einsum(rng):
+    """SwinIR encoder with the fused whole-block kernel (interpret mode)
+    matches the einsum path, including shifted blocks (mask kinds) and
+    reflect padding to window multiples."""
     from ciaosr_tpu.models.swinir import SwinIREncoder
     enc = SwinIREncoder(embed_dim=12, depths=(2, 2), num_heads=(2, 2),
                         window_size=4, mlp_ratio=2.0)

@@ -194,8 +194,11 @@ def niqe_core(img: np.ndarray, mu_pris, cov_pris, gaussian_window,
         img_norm = (img - mu) / (sigma + 1)
 
         feats = []
-        for idx_h in range(num_block_h // scale):
-            for idx_w in range(num_block_w // scale):
+        # block COUNT stays fixed across scales; only the slice size
+        # halves (reference metrics.py:448-456 — the half-size image has
+        # the same number of 48-px blocks as the full-size has 96-px)
+        for idx_h in range(num_block_h):
+            for idx_w in range(num_block_w):
                 block = img_norm[
                     idx_h * block_size_h // scale:(idx_h + 1) * block_size_h // scale,
                     idx_w * block_size_w // scale:(idx_w + 1) * block_size_w // scale]

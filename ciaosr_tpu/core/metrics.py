@@ -213,7 +213,8 @@ def niqe_core(img: np.ndarray, mu_pris, cov_pris, gaussian_window,
     distparam_no_nan = distparam[~np.isnan(distparam).any(axis=1)]
     cov_distparam = np.cov(distparam_no_nan, rowvar=False)
     invcov_param = np.linalg.pinv((cov_pris + cov_distparam) / 2)
-    diff = mu_pris - mu_distparam
+    # the official file stores mu as (1, 36); accept either layout
+    diff = np.ravel(mu_pris) - mu_distparam
     return float(np.sqrt(diff @ invcov_param @ diff))
 
 

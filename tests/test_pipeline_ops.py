@@ -83,7 +83,8 @@ def test_niqe_runs_with_synthetic_params(tmp_path, monkeypatch):
     gaussian_window = np.outer(win, win)
     gaussian_window /= gaussian_window.sum()
     a = rng.random((200, 36))
-    np.savez(tmp_path / "p.npz", mu_pris_param=a.mean(0),
+    # mu stored (1, 36) — the official file's layout
+    np.savez(tmp_path / "p.npz", mu_pris_param=a.mean(0, keepdims=True),
              cov_pris_param=np.cov(a, rowvar=False),
              gaussian_window=gaussian_window)
     monkeypatch.setenv("CIAOSR_NIQE_PARAMS", str(tmp_path / "p.npz"))

@@ -182,3 +182,48 @@ def test_real_random_resize_round_trip():
              ["lq"])
     out = op({"lq": img, "_rng": np.random.default_rng(0)})["lq"]
     assert out.shape == img.shape
+
+
+def test_degradations_with_shuffle_groups():
+    """Shuffled op application with grouped entries keeping internal order
+    (random_degradations.py:1238-1303). Quantize then +0.25 vs +0.25 then
+    Quantize give different outputs, so the applied order is observable."""
+    from ciaosr_tpu.data.degradations import DegradationsWithShuffle
+    from ciaosr_tpu.config.registry import PIPELINES
+
+    class _AddQuarter:
+        def __init__(self, keys):
+            self.keys = keys
+
+        def __call__(self, results):
+            for k in self.keys:
+                results[k] = results[k] + 0.25
+            return results
+
+    if "_AddQuarter" not in PIPELINES._registry:
+        PIPELINES.register(_AddQuarter, name="_AddQuarter")
+
+    img = np.full((4, 4, 3), 0.4, np.float32)
+    degs = [dict(type="Quantize"), dict(type="_AddQuarter")]
+    outs = set()
+    for seed in range(16):
+        op = DegradationsWithShuffle(degs, keys=["lq"])
+        out = op({"lq": img.copy(), "_rng": np.random.default_rng(seed)})
+        outs.add(round(float(out["lq"][0, 0, 0]), 4))
+    # Quantize→+0.25 ≈ 0.6525; +0.25→Quantize ≈ 0.651 — both orders occur
+    assert len(outs) == 2
+
+    # grouped entries keep internal order: ([q, +q]) as ONE entry always
+    # quantizes first inside the group
+    op = DegradationsWithShuffle([[dict(type="Quantize"),
+                                   dict(type="_AddQuarter")]], keys=["lq"])
+    out = op({"lq": img.copy(), "_rng": np.random.default_rng(0)})
+    assert abs(float(out["lq"][0, 0, 0])
+               - (round(0.4 * 255) / 255 + 0.25)) < 1e-4
+
+    # shuffle_idx restricts the shuffle to a subset (positions outside it
+    # are fixed)
+    op = DegradationsWithShuffle(degs, keys=["lq"], shuffle_idx=[0])
+    out = op({"lq": img.copy(), "_rng": np.random.default_rng(0)})
+    assert abs(float(out["lq"][0, 0, 0])
+               - (round(0.4 * 255) / 255 + 0.25)) < 1e-4

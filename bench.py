@@ -68,6 +68,7 @@ def main():
         "value": round(mps, 4),
         "unit": "megapixels/s/chip",
         "vs_baseline": round(mps / REFERENCE_GPU_MPS_ESTIMATE, 2),
+        "baseline_note": "denominator is an ESTIMATE (reference publishes no throughput; see header)",
     }))
 
 

@@ -73,13 +73,15 @@ class CrossScaleAttention(nn.Module):
         cr = self.channels // self.reduction
 
         def basic_block(feats, name):
-            def apply(inp):
-                y = nn.Conv(feats, (1, 1), kernel_init=torch_kernel_init,
-                            bias_init=torch_bias_init(inp.shape[-1]),
-                            dtype=self.dtype, name=f"{name}_conv")(inp)
-                return nn.PReLU(negative_slope_init=0.25,
-                                name=f"{name}_prelu")(y)
-            return apply
+            # instantiate ONCE: the reference applies the same embed/match
+            # convs to every scale's padded input (arch_csnln.py:418-420,
+            # 452-453) — per-scale re-creation would both break weight
+            # sharing and collide flax submodule names
+            conv = nn.Conv(feats, (1, 1), kernel_init=torch_kernel_init,
+                           bias_init=torch_bias_init(self.channels),
+                           dtype=self.dtype, name=f"{name}_conv")
+            prelu = nn.PReLU(negative_slope_init=0.25, name=f"{name}_prelu")
+            return lambda inp: prelu(conv(inp))
 
         conv_match_1 = basic_block(cr, "conv_match_1")
         conv_match_2 = basic_block(cr, "conv_match_2")

@@ -42,6 +42,8 @@ class CheckpointManager:
         return True
 
     def save(self, step: int, state, metrics: dict | None = None):
+        if self.mgr.latest_step() == step:  # e.g. final save right after a
+            return                          # maybe_save at the same step
         kwargs = {}
         if self.keep_best_metric:
             kwargs["metrics"] = {
@@ -62,6 +64,42 @@ class CheckpointManager:
 
     def wait(self):
         self.mgr.wait_until_finished()
+
+
+def resolve_checkpoint_dir(path: str) -> tuple[str, int | None]:
+    """Resolve a user-supplied --resume-from path to (manager_dir, step).
+
+    Accepts a work_dir (containing ``checkpoints/``), the ``checkpoints``
+    dir itself, or a specific step dir (``.../checkpoints/6000``) —
+    matching the reference's tolerance for ``--resume-from`` pointing at
+    either ``work_dir`` or ``latest.pth`` (tools/train.py:90-101).
+    """
+    path = os.path.abspath(path)
+    nested = os.path.join(path, "checkpoints")
+    if os.path.isdir(nested):
+        return nested, None
+    base = os.path.basename(path)
+    if base.isdigit() and os.path.isdir(path):
+        return os.path.dirname(path), int(base)
+    return path, None
+
+
+def restore_external(path: str, state_like):
+    """Restore the latest (or pointed-at) step from an EXTERNAL checkpoint
+    dir — the ``--resume-from`` semantics, as opposed to auto-resume from
+    the run's own work_dir."""
+    mgr_dir, step = resolve_checkpoint_dir(path)
+    if not os.path.isdir(mgr_dir):
+        raise FileNotFoundError(f"--resume-from: no checkpoint dir at {path}")
+    mgr = ocp.CheckpointManager(
+        mgr_dir, options=ocp.CheckpointManagerOptions(create=False))
+    step = step if step is not None else mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(
+            f"--resume-from: no checkpoints found under {mgr_dir}")
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(state_like))
+    mgr.close()
+    return restored, step
 
 
 def save_params(path: str, params) -> None:

@@ -26,6 +26,8 @@ class GANTrainer:
     restorer: Any   # RealCiaoSRRestorer
     cfg: Any
     work_dir: str
+    resume_from: str | None = None
+    auto_resume: bool = True
     seed: int = 0
 
     def __post_init__(self):
@@ -67,10 +69,19 @@ class GANTrainer:
         it = iter(loader)
         batch = next(it)
         state = self.init_state(batch)
-        restored, step0 = self.ckpt.restore(state)
-        if restored is not None:
+        # --resume-from > auto-resume > fresh (reference tools/train.py:90-101)
+        if self.resume_from:
+            from ciaosr_tpu.train.checkpoint import restore_external
+            restored, step0 = restore_external(self.resume_from,
+                                               jax.device_get(state))
             state = replicate(self.mesh, restored)
-            print(f"[resume] from iteration {step0}", flush=True)
+            print(f"[resume] from {self.resume_from} @ iteration {step0}",
+                  flush=True)
+        elif self.auto_resume:
+            restored, step0 = self.ckpt.restore(state)
+            if restored is not None:
+                state = replicate(self.mesh, restored)
+                print(f"[resume] from iteration {step0}", flush=True)
 
         step = int(state.step)
         t_last = time.time()

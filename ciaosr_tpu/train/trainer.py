@@ -110,6 +110,7 @@ class Trainer:
     cfg: Any
     work_dir: str
     resume_from: str | None = None
+    auto_resume: bool = True
     seed: int = 0
 
     def __post_init__(self):
@@ -139,32 +140,50 @@ class Trainer:
                            opt_state=opt_state)
         return replicate(self.mesh, state)
 
+    def _maybe_resume(self, state):
+        """--resume-from (explicit external dir) takes precedence over
+        auto-resume from the run's own work_dir; --no-auto-resume disables
+        the latter (reference tools/train.py:90-101 semantics)."""
+        if self.resume_from:
+            from ciaosr_tpu.train.checkpoint import restore_external
+            restored, step0 = restore_external(self.resume_from,
+                                               jax.device_get(state))
+            print(f"[resume] from {self.resume_from} @ iteration {step0}",
+                  flush=True)
+            return replicate(self.mesh, restored)
+        if self.auto_resume:
+            restored, step0 = self.ckpt.restore(state)
+            if restored is not None:
+                print(f"[resume] from iteration {step0}", flush=True)
+                return replicate(self.mesh, restored)
+        return state
+
     def run(self, loader, total_iters: int, eval_fn=None,
             eval_interval: int | None = None) -> TrainState:
         it = iter(loader)
         first = next(it)
         state = self.init_state(first)
 
-        restored, step0 = self.ckpt.restore(state)
-        if restored is not None:
-            state = replicate(self.mesh, restored)
-            print(f"[resume] from iteration {step0}", flush=True)
+        state = self._maybe_resume(state)
 
         step = int(state.step)
-        t_last = time.time()
+        # interval-mean throughput: amortizes the log-flush host sync over
+        # the whole window instead of charging it to one step
+        win_t0, win_n = time.time(), 0
         batch = first
         last_eval: dict = {}
         while step < total_iters:
             device_batch = shard_batch(self.mesh, batch)
             state, metrics = self.train_step(state, device_batch)
             step += 1
-            ips = 1.0 / max(time.time() - t_last, 1e-9)
-            t_last = time.time()
+            win_n += 1
             extra = None
             if step % self.logger.interval == 0:
+                ips = win_n / max(time.time() - win_t0, 1e-9)
                 extra = {"lr": float(self.schedule(step)) if callable(
                     self.schedule) else self.schedule,
                     "iters_per_s": ips}
+                win_t0, win_n = time.time(), 0
             self.logger.log(step, metrics, extra)
             if eval_fn and eval_interval and step % eval_interval == 0:
                 last_eval = eval_fn(state.params)

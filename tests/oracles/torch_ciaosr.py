@@ -173,15 +173,14 @@ class OracleEDSR(nn.Module):
             def forward(self, z):
                 return z + self.conv2(F.relu(self.conv1(z))) * self.res_scale
 
-        self.body = nn.ModuleList([ResBlock(mid) for _ in range(blocks)])
+        # Sequential (not ModuleList): the reference steals ``encoder.body``
+        # and calls it as a module (ciaosr_net.py:388-401); keys unchanged.
+        self.body = nn.Sequential(*[ResBlock(mid) for _ in range(blocks)])
         self.conv_after_body = nn.Conv2d(mid, mid, 3, padding=1)
 
     def forward(self, x):
         z = self.conv_first(x)
-        r = z
-        for blk in self.body:
-            r = blk(r)
-        return self.conv_after_body(r) + z
+        return self.conv_after_body(self.body(z)) + z
 
 
 class OracleCiaoSR(nn.Module):

@@ -1,0 +1,137 @@
+"""Subprocess smoke tests for the CLI entry points.
+
+The reference's primary public surface is ``python tools/train.py CONFIG``
+and ``python tools/test.py CONFIG CKPT`` (/root/reference/tools/); nothing
+short of invoking them proves the wiring.  Covers: fresh train, auto-resume
+(tools/train.py:90-101 analogue), --resume-from an external work_dir,
+--no-auto-resume, and eval on the resulting training checkpoint.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIG_TMPL = textwrap.dedent("""\
+    exp_name = 'smoke'
+    model = dict(
+        type='CiaoSR',
+        generator=dict(
+            type='LocalImplicitSREDSR',
+            encoder=dict(type='EDSR', in_channels=3, mid_channels=8,
+                         num_blocks=1),
+            imnet_q=dict(type='MLPRefiner', out_dim=3, hidden_list=[16]),
+            imnet_k=dict(type='MLPRefiner', out_dim=1, hidden_list=[16]),
+            imnet_v=dict(type='MLPRefiner', out_dim=1, hidden_list=[16]),
+            feat_unfold=True, eval_bsize=512),
+        rgb_mean=(0.4488, 0.4371, 0.4040), rgb_std=(1., 1., 1.),
+        pixel_loss=dict(type='L1Loss', loss_weight=1.0, reduction='mean'))
+    train_cfg = None
+    test_cfg = dict(metrics=['PSNR'], crop_border=2, scale=2, convert_to='y')
+    train_pipeline = [
+        dict(type='LoadImageFromFile', key='gt', channel_order='rgb'),
+        dict(type='RandomDownSampling', scale_min=1, scale_max=2,
+             patch_size=8),
+        dict(type='RescaleToZeroOne', keys=['lq', 'gt']),
+        dict(type='ImageToTensor', keys=['lq', 'gt']),
+        dict(type='GenerateCoordinateAndCell', sample_quantity=64),
+        dict(type='Collect', keys=['lq', 'gt', 'coord', 'cell'],
+             meta_keys=['gt_path'])]
+    valid_pipeline = [
+        dict(type='LoadImageFromFile', key='gt', channel_order='rgb'),
+        dict(type='RandomDownSampling', scale_min=2, scale_max=2),
+        dict(type='RescaleToZeroOne', keys=['lq', 'gt']),
+        dict(type='ImageToTensor', keys=['lq', 'gt']),
+        dict(type='GenerateCoordinateAndCell', scale=2),
+        dict(type='Collect', keys=['lq', 'gt', 'coord', 'cell'],
+             meta_keys=['gt_path'])]
+    data = dict(
+        workers_per_gpu=0,
+        train_dataloader=dict(samples_per_gpu=2),
+        train=dict(type='SRFolderGTDataset', gt_folder='{gt}',
+                   pipeline=train_pipeline, scale=2),
+        val=dict(type='SRFolderGTDataset', gt_folder='{gt}',
+                 pipeline=valid_pipeline, scale=2),
+        test=dict(type='SRFolderGTDataset', gt_folder='{gt}',
+                  pipeline=valid_pipeline, scale=2))
+    optimizers = dict(type='Adam', lr=1.e-4)
+    total_iters = 4
+    lr_config = dict(policy='Step', by_epoch=False, step=[100], gamma=0.5)
+    checkpoint_config = dict(interval=2)
+    evaluation = dict(interval=1000)
+    log_config = dict(interval=1)
+    work_dir = '{wd}'
+    test_checkpoint_path = '{wd}'
+""")
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS="",
+               PYTHONPATH=REPO)
+    r = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, (
+        f"cmd {args} failed\nSTDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}")
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def smoke_dir(tmp_path_factory):
+    import cv2
+    root = tmp_path_factory.mktemp("cli_smoke")
+    gt = root / "gt"
+    gt.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(gt / f"im{i}.png"), img)
+    wd1 = root / "wd1"
+    cfg = root / "smoke_cfg.py"
+    cfg.write_text(CONFIG_TMPL.format(gt=str(gt), wd=str(wd1)))
+    return {"root": root, "cfg": str(cfg), "wd1": str(wd1)}
+
+
+def test_cli_train_resume_and_eval(smoke_dir):
+    cfg, wd1 = smoke_dir["cfg"], smoke_dir["wd1"]
+    root = smoke_dir["root"]
+
+    # 1. fresh 4-iter run: logs written, checkpoints saved
+    out = _run(["tools/train.py", cfg, "--total-iters", "4", "--seed", "1"])
+    assert "[resume]" not in out
+    assert os.path.exists(os.path.join(wd1, "train_log.jsonl"))
+    ckpts = os.path.join(wd1, "checkpoints")
+    assert any(d.isdigit() and int(d) == 4 for d in os.listdir(ckpts)), \
+        os.listdir(ckpts)
+
+    # 2. rerun to 8 iters: auto-resumes at 4
+    out = _run(["tools/train.py", cfg, "--total-iters", "8", "--seed", "1"])
+    assert "[resume] from iteration 4" in out
+
+    # 3. --resume-from an external work_dir into a fresh work_dir
+    wd2 = str(root / "wd2")
+    out = _run(["tools/train.py", cfg, "--work-dir", wd2,
+                "--resume-from", wd1, "--total-iters", "10",
+                "--seed", "1"])
+    assert f"[resume] from {wd1} @ iteration 8" in out
+
+    # 4. --no-auto-resume ignores existing checkpoints (fresh copy so the
+    #    original run dirs stay pristine)
+    wd3 = str(root / "wd3")
+    shutil.copytree(wd1, wd3)
+    out = _run(["tools/train.py", cfg, "--work-dir", wd3,
+                "--no-auto-resume", "--total-iters", "2", "--seed", "1"])
+    assert "[resume]" not in out
+
+    # 5. eval the trained checkpoint through tools/test.py, both by explicit
+    #    work_dir and by 'None' → config test_checkpoint_path indirection
+    out = _run(["tools/test.py", cfg, wd2, "--split", "val"])
+    assert "Eval results:" in out and "PSNR" in out
+    out = _run(["tools/test.py", cfg, "None", "--split", "val",
+                "--deterministic"])
+    assert "Eval results:" in out

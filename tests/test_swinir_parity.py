@@ -31,23 +31,59 @@ def test_swinir_trunk_parity(rng, hw):
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
 
 
-def test_swinir_shifted_mask_changes_output(rng):
-    """The shifted block's mask must actually gate cross-region attention:
-    degenerate check that shift-window path differs from shift-free."""
-    torch.manual_seed(1)
-    enc = SwinIREncoder(embed_dim=12, depths=(2,), num_heads=(3,),
-                        window_size=4)
+def test_swinir_shifted_mask_gates_cross_region_attention(rng):
+    """Behavioral proof the shifted-window mask gates attention between
+    wrapped regions (swinir_net.py:243-263 semantics): perturbing every
+    pixel of ONE shift region must leave the block output at all other
+    regions' positions bit-identical — even for positions sharing a
+    (rolled) window with perturbed pixels.  All block ops other than
+    attention are per-position, so any leak is a mask failure."""
     import jax
-    x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)).astype(np.float32))
-    params = enc.init(jax.random.PRNGKey(0), x)
-    out = enc.apply(params, x)
-    assert np.isfinite(np.asarray(out)).all()
-    enc1 = SwinIREncoder(embed_dim=12, depths=(1,), num_heads=(3,),
-                         window_size=4)
-    params1 = {"params": {
-        k: v for k, v in params["params"].items()}}
-    # structural: 2-block layer has a shifted second block in the tree
-    assert "blocks_1" in params["params"]["layers_0"]
+
+    from ciaosr_tpu.models.swinir import SwinBlock
+
+    h = w = 8
+    ws, shift = 4, 2
+    blk = SwinBlock(dim=12, num_heads=3, window_size=ws, shift_size=shift)
+    x0 = rng.standard_normal((1, h * w, 12)).astype(np.float32)
+    params = blk.init(jax.random.PRNGKey(0), jnp.asarray(x0), (h, w))
+
+    # independent region-id derivation (the reference's img_mask loop)
+    region = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            region[hs, wsl] = cnt
+            cnt += 1
+    perturb = (region == region[-1, -1]).reshape(-1)   # corner region
+    assert perturb.sum() == shift * shift
+
+    # sanity that the test can catch a leak: some unperturbed position
+    # shares a post-roll window with a perturbed one
+    rolled = np.roll(region, (-shift, -shift), axis=(0, 1))
+    shares = False
+    for wi in range(0, h, ws):
+        for wj in range(0, w, ws):
+            win = rolled[wi:wi + ws, wj:wj + ws]
+            if (win == region[-1, -1]).any() and \
+                    (win != region[-1, -1]).any():
+                shares = True
+    assert shares
+
+    # per-channel noise (a constant shift would be erased by norm1 and
+    # couldn't leak through attention even unmasked)
+    x1 = x0.copy()
+    x1[0, perturb, :] += rng.standard_normal(
+        (int(perturb.sum()), 12)).astype(np.float32) * 3.0
+    out0 = np.asarray(blk.apply(params, jnp.asarray(x0), (h, w)))
+    out1 = np.asarray(blk.apply(params, jnp.asarray(x1), (h, w)))
+    keep = ~perturb
+    # an unmasked leak puts O(0.1) deltas here; the -100 mask logit leaves
+    # only sub-float32-epsilon residue
+    np.testing.assert_allclose(out0[0, keep], out1[0, keep], atol=1e-5,
+                               rtol=0)
+    # and the perturbed region itself did change (non-vacuous)
+    assert np.abs(out0[0, perturb] - out1[0, perturb]).max() > 1e-2
 
 
 def test_swinir_ciaosr_builds(rng):

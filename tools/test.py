@@ -45,6 +45,38 @@ def parse_args():
     return p.parse_args()
 
 
+def _load_orbax(ckpt: str, model):
+    """Load params from an orbax path: either a bare params dir (converted
+    checkpoints) or a training work_dir / checkpoints dir / step dir, from
+    which the generator params (EMA preferred, real_ciaosr.py:270) are
+    extracted — so ``tools/test.py CONFIG WORK_DIR`` works directly on a
+    training run, like the reference's ``latest.pth``."""
+    import os as _os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    from ciaosr_tpu.train.checkpoint import load_params, resolve_checkpoint_dir
+
+    mgr_dir, step = resolve_checkpoint_dir(ckpt)
+    has_steps = _os.path.isdir(mgr_dir) and any(
+        d.isdigit() for d in _os.listdir(mgr_dir))
+    if has_steps:
+        mgr = ocp.CheckpointManager(
+            mgr_dir, options=ocp.CheckpointManagerOptions(create=False))
+        step = step if step is not None else mgr.latest_step()
+        raw = mgr.restore(step)  # saved structure (StandardSave)
+        mgr.close()
+        for key in ("ema", "params", "g_params"):
+            if isinstance(raw, dict) and key in raw:
+                print(f"[ckpt] using '{key}' from training state @ step "
+                      f"{step}", flush=True)
+                return raw[key]
+        return raw
+    like = jax.eval_shape(lambda: model.init_params(jax.random.PRNGKey(0)))
+    return load_params(ckpt, like)
+
+
 def main():
     args = parse_args()
     if args.launcher == "tpu":  # pragma: no cover - multihost only
@@ -62,8 +94,10 @@ def main():
     import ciaosr_tpu.data.degradations  # noqa: F401
 
     cfg = Config.fromfile(args.config)
-    if args.seed is not None:
-        np.random.seed(args.seed)
+    if args.seed is not None or args.deterministic:
+        import random
+        random.seed(args.seed or 0)
+        np.random.seed(args.seed or 0)
 
     dataset = build_dataset(cfg.data[args.split])
     model = build_model(cfg.model, test_cfg=cfg.test_cfg)
@@ -78,10 +112,7 @@ def main():
         from ciaosr_tpu.convert.load import load_torch_checkpoint
         params = load_torch_checkpoint(ckpt, cfg.model)
     else:
-        from ciaosr_tpu.train.checkpoint import load_params
-        like = jax.eval_shape(
-            lambda: model.init_params(jax.random.PRNGKey(0)))
-        params = load_params(ckpt, like)
+        params = _load_orbax(ckpt, model)
 
     mesh = None
     if args.shard_tiles and len(jax.local_devices()) > 1:

@@ -52,6 +52,16 @@ def main():
     import ciaosr_tpu.models.real_restorer  # noqa: F401
     import ciaosr_tpu.data.degradations  # noqa: F401
 
+    if args.deterministic:
+        # JAX compute + the loader's ordered merge are already deterministic
+        # given a seed; this additionally pins the host-side RNGs the data
+        # pipeline draws from (reference set_random_seed(deterministic=True),
+        # tools/train.py:136-143)
+        import random
+        import numpy as _np
+        random.seed(args.seed)
+        _np.random.seed(args.seed)
+
     cfg = Config.fromfile(args.config)
     work_dir = args.work_dir or cfg.work_dir
     os.makedirs(work_dir, exist_ok=True)
@@ -101,12 +111,10 @@ def main():
 
     mtype = cfg.model["type"]
     mname = mtype if isinstance(mtype, str) else mtype.__name__
-    if mname == "RealCiaoSR":
-        trainer = GANTrainer(restorer=model, cfg=cfg, work_dir=work_dir,
-                             seed=args.seed)
-    else:
-        trainer = Trainer(restorer=model, cfg=cfg, work_dir=work_dir,
-                          resume_from=args.resume_from, seed=args.seed)
+    cls = GANTrainer if mname == "RealCiaoSR" else Trainer
+    trainer = cls(restorer=model, cfg=cfg, work_dir=work_dir,
+                  resume_from=args.resume_from,
+                  auto_resume=not args.no_auto_resume, seed=args.seed)
     total = args.total_iters or cfg.total_iters
     trainer.run(loader, total_iters=total, eval_fn=eval_fn,
                 eval_interval=eval_interval)

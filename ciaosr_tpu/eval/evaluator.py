@@ -62,10 +62,30 @@ def evaluate_dataset(restorer, params, dataset, save_path: str | None = None,
             progress(f"[eval] {n + 1}/{len(indices)} "
                      f"({(time.time() - t0) / (n + 1):.2f}s/img)")
 
-    if nproc > 1:  # pragma: no cover - multihost only
+    if nproc > 1:
+        # process_allgather needs identical pytree structure on every
+        # process; per-process item counts differ when len(dataset) %
+        # nproc != 0, so gather a NaN-padded fixed-shape array instead
+        # (exercised by tests/test_distributed.py on a 2-process CPU
+        # cluster — the reference's gpu_collect analogue,
+        # tools/test.py:138-146)
         from jax.experimental import multihost_utils
-        gathered = multihost_utils.process_allgather(per_image)
-        per_image = [r for proc in gathered for r in proc]
+        keys = sorted({k for r in per_image for k in r})
+        if not keys:  # a process with zero items can't name the metrics
+            raise ValueError(
+                f"process {pid} drew no eval items (dataset of "
+                f"{len(dataset)} over {nproc} processes)")
+        cap = -(-len(dataset) // nproc)
+        arr = np.full((cap, len(keys)), np.nan, np.float64)
+        for i, r in enumerate(per_image):
+            for j, k in enumerate(keys):
+                arr[i, j] = float(r.get(k, np.nan))
+        gathered = np.asarray(multihost_utils.process_allgather(arr))
+        rows = gathered.reshape(-1, len(keys))
+        idx_col = keys.index("idx")
+        per_image = [dict(zip(keys, row)) for row in rows
+                     if np.isfinite(row[idx_col])]
+        per_image.sort(key=lambda r: r["idx"])
 
     keys = [k for k in per_image[0] if k != "idx"] if per_image else []
     summary = {k: float(np.mean([r[k] for r in per_image])) for k in keys}

@@ -27,12 +27,46 @@ def default_collate(samples: list[dict]) -> dict:
     return out
 
 
+_FORK_DATASET = None  # inherited by fork-started pool workers
+
+
+def _proc_worker_init():  # pragma: no cover - runs in child processes
+    try:
+        import cv2
+        cv2.setNumThreads(0)  # forked cv2 thread pools can deadlock
+    except Exception:
+        pass
+
+
+def _proc_load_batch(chunk, rng_seed):
+    """Child-side batch assembly. Reseeds the pipeline-module default RNG
+    per task: forked children otherwise share one bit-identical stream and
+    every worker would sample the same degradation parameters."""
+    import ciaosr_tpu.data.pipelines as pipelines
+    pipelines._DEFAULT_RNG = np.random.default_rng(rng_seed)
+    samples = [_FORK_DATASET[int(i)] for i in chunk]
+    samples = [s for s in samples if s is not None]
+    return default_collate(samples) if samples else None
+
+
 class DataLoader:
-    """Infinite (or single-pass) shuffling loader with prefetch threads."""
+    """Infinite (or single-pass) shuffling loader with prefetched workers.
+
+    ``worker_mode``:
+      * ``"thread"`` (default) — cv2/numpy release the GIL; right for
+        IO-bound pipelines (classical 001 recipe).
+      * ``"process"`` — fork-based pool; right for *Python*-bound
+        pipelines (the 002 Real-ESRGAN degradation chain's kernel
+        sampling and parameter walks serialize under the GIL). The
+        reference gets this for free from torch's process workers
+        (configs/001_..._rdn_...py:127); same ordered-merge and
+        error-propagation contract as the thread path.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 4, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 4, infinite: bool = True):
+                 prefetch: int = 4, infinite: bool = True,
+                 worker_mode: str = "thread"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -41,6 +75,10 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.infinite = infinite
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be 'thread' or 'process', "
+                             f"got {worker_mode!r}")
+        self.worker_mode = worker_mode
 
     def _index_stream(self):
         rng = np.random.default_rng(self.seed)
@@ -58,6 +96,53 @@ class DataLoader:
                 return
 
     def __iter__(self):
+        if self.worker_mode == "process" and self.num_workers > 1:
+            yield from self._iter_processes()
+            return
+        yield from self._iter_threads()
+
+    def _iter_processes(self):
+        """Fork-pool path: futures consumed in submission order (ordered
+        merge); fut.result() re-raises child exceptions (error
+        propagation); shutdown cancels queued work."""
+        import multiprocessing as mp
+        from collections import deque
+        from concurrent.futures import ProcessPoolExecutor
+
+        global _FORK_DATASET
+        _FORK_DATASET = self.dataset  # visible to fork children, no pickling
+        ex = ProcessPoolExecutor(
+            max_workers=self.num_workers,
+            mp_context=mp.get_context("fork"),
+            initializer=_proc_worker_init)
+        try:
+            stream = enumerate(self._index_stream())
+            window: deque = deque()
+            depth = max(self.prefetch, self.num_workers)
+            exhausted = False
+            while True:
+                while not exhausted and len(window) < depth:
+                    try:
+                        seq, chunk = next(stream)
+                    except StopIteration:
+                        exhausted = True
+                        break
+                    window.append(ex.submit(
+                        _proc_load_batch, [int(i) for i in chunk],
+                        (self.seed, seq)))
+                if not window:
+                    return
+                try:
+                    batch = window.popleft().result()
+                except Exception as e:
+                    raise RuntimeError("DataLoader worker failed") from e
+                if batch is not None:
+                    yield batch
+        finally:
+            _FORK_DATASET = None
+            ex.shutdown(wait=False, cancel_futures=True)
+
+    def _iter_threads(self):
         batch_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         idx_q: queue.Queue = queue.Queue(maxsize=self.prefetch * 2)
         stop = threading.Event()

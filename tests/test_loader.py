@@ -84,3 +84,57 @@ def test_close_joins_worker_threads():
     for t in leaked:
         t.join(2.0)
     assert all(not t.is_alive() for t in leaked)
+
+
+def test_process_mode_matches_thread_mode_order():
+    """Fork-pool path keeps the same ordered-merge contract: identical
+    batch stream to the thread path for a fixed seed."""
+    ds = ArrayDataset(n=24)
+    a = [b["x"][:, 0].tolist() for b in DataLoader(
+        ds, batch_size=4, num_workers=2, seed=5, infinite=False,
+        worker_mode="thread")]
+    b = [b["x"][:, 0].tolist() for b in DataLoader(
+        ds, batch_size=4, num_workers=2, seed=5, infinite=False,
+        worker_mode="process")]
+    assert a == b and len(a) == 6
+
+
+def test_process_mode_worker_error_raises():
+    ds = ArrayDataset(n=16, fail_at=7)
+    loader = DataLoader(ds, batch_size=4, num_workers=2, seed=0,
+                        infinite=False, worker_mode="process")
+    with pytest.raises(RuntimeError, match="worker failed"):
+        for _ in loader:
+            pass
+
+
+def test_process_mode_infinite_and_close():
+    ds = ArrayDataset(n=8)
+    loader = DataLoader(ds, batch_size=4, num_workers=2, seed=0,
+                        infinite=True, worker_mode="process")
+    it = iter(loader)
+    seen = [next(it) for _ in range(5)]     # wraps past one epoch
+    assert all(s["x"].shape == (4, 3) for s in seen)
+    it.close()                              # shuts the pool down cleanly
+
+
+def test_process_mode_reseeds_default_rng(tmp_path):
+    """Two different batches drawn through the seedless-default-RNG path
+    must not be identical across tasks (fork would otherwise clone the
+    stream into every worker)."""
+    import ciaosr_tpu.data.pipelines as P
+
+    class RandomDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            rng = P._DEFAULT_RNG
+            return {"x": rng.random(4).astype(np.float32)}
+
+    loader = DataLoader(RandomDataset(), batch_size=4, num_workers=2,
+                        seed=0, shuffle=False, infinite=False,
+                        worker_mode="process")
+    batches = [b["x"] for b in loader]
+    assert len(batches) == 2
+    assert not np.allclose(batches[0], batches[1])

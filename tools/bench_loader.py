@@ -113,6 +113,9 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--mode", default="thread", choices=["thread", "process"],
+                   help="loader worker mode (process = fork pool for the "
+                        "GIL-bound 002 chain)")
     p.add_argument("--recipe", default="001", choices=["001", "002"])
     p.add_argument("--patch", type=int, default=48)
     p.add_argument("--quantity", type=int, default=2304)
@@ -140,7 +143,8 @@ def main():
             dataset=dict(type="SRFolderGTDataset", gt_folder=gt_dir,
                          pipeline=pipe, scale=4, seed=0)))
         loader = build_dataloader(ds, samples_per_gpu=args.batch,
-                                  workers_per_gpu=args.workers, seed=0)
+                                  workers_per_gpu=args.workers, seed=0,
+                                  worker_mode=args.mode)
         it = iter(loader)
         for _ in range(4):                       # warm up workers
             next(it)
@@ -156,6 +160,7 @@ def main():
         "recipe": args.recipe,
         "batch": args.batch,
         "workers": args.workers,
+        "mode": args.mode,
         "batches_per_s": round(1.0 / dt, 2),
         "images_per_s": round(args.batch / dt, 1),
         "ms_per_batch": round(dt * 1e3, 1),

@@ -99,6 +99,7 @@ def main():
         train_ds,
         samples_per_gpu=loader_cfg.get("samples_per_gpu", 16),
         workers_per_gpu=cfg.data.get("workers_per_gpu", 4),
+        worker_mode=cfg.data.get("worker_mode", "thread"),
         seed=args.seed)
 
     eval_fn = None

@@ -94,18 +94,19 @@ class CiaoSRNet(nn.Module):
 
     def gen_feature(self, x: jnp.ndarray, flash: bool = False) -> jnp.ndarray:
         """Encoder trunk features, NHWC. flash=True routes SwinIR window
-        attention through the fused whole-block Pallas kernel
-        (forward-only — eval paths opt in via use_pallas)."""
+        attention through the fused whole-block Pallas kernel — now
+        differentiable (custom-VJP backward kernel), so training paths may
+        opt in too."""
         from ciaosr_tpu.models.swinir import SwinIREncoder
         if flash and isinstance(self.encoder, SwinIREncoder):
             return self.encoder(x, flash=True)
         return self.encoder(x)
 
     def __call__(self, x: jnp.ndarray, coord: jnp.ndarray,
-                 cell: jnp.ndarray) -> jnp.ndarray:
+                 cell: jnp.ndarray, flash: bool = False) -> jnp.ndarray:
         """x: (B,H,W,3) LQ (pre-normalized); coord/cell: (B,Q,2).
         Returns (B,Q,3)."""
-        feature = self.gen_feature(x)
+        feature = self.gen_feature(x, flash=flash)
         return self.query_rgb(feature, x, coord, cell)
 
     def nl_feature(self, feature: jnp.ndarray) -> jnp.ndarray:

@@ -119,7 +119,8 @@ class RealCiaoSRRestorer(CiaoSRRestorer):
             gt_percep = gt_unsharp if self.use_sharp_percep else gt
             gt_gan = gt_unsharp if self.use_sharp_gan else gt
 
-            pred = gen.apply(g_params, lq, batch["coord"], batch["cell"])
+            pred = gen.apply(g_params, lq, batch["coord"], batch["cell"],
+                             gen.use_pallas)
             b, ns, _ = pred.shape
             side = int(math.isqrt(ns))  # static (real_ciaosr.py:146-147)
             pred_img = pred.reshape(b, side, side, 3)
@@ -187,7 +188,7 @@ class RealCiaoSRRestorer(CiaoSRRestorer):
                 # no generator update, but pred is still needed for D
                 lq = (batch["lq"] - mean) / std
                 pred = gen.apply(state.g_params, lq, batch["coord"],
-                                 batch["cell"])
+                                 batch["cell"], gen.use_pallas)
                 b, ns, _ = pred.shape
                 side = int(math.isqrt(ns))
                 zeros = {k: jnp.zeros(()) for k in _g_loss_keys}

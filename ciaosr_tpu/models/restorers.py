@@ -72,7 +72,8 @@ class CiaoSRRestorer:
         Returns (loss, pred)."""
         lq_n = self.normalize(lq)
         gt_n = (gt - self.rgb_mean) / self.rgb_std
-        pred = self.generator.apply(params, lq_n, coord, cell)
+        pred = self.generator.apply(params, lq_n, coord, cell,
+                                    self.generator.use_pallas)
         loss = jnp.mean(jnp.abs(pred - gt_n))
         return loss, pred
 

@@ -148,6 +148,9 @@ valid_pipeline = [
 mydata_dir = 'mydata'
 data = dict(
     workers_per_gpu=6,
+    # fork-pool workers: the two-stage degradation chain is Python-bound
+    # (GIL) — see docs/PERF_NOTES.md 'process-pool worker mode'
+    worker_mode='process',
     train_dataloader=dict(samples_per_gpu=6, drop_last=True),
     val_dataloader=dict(samples_per_gpu=1),
     test_dataloader=dict(samples_per_gpu=1),

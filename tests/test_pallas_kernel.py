@@ -114,3 +114,37 @@ def test_fused_swin_block_matches_einsum(rng):
     got = enc.apply(params, x, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-3, rtol=1e-2)
+
+
+def test_fused_swin_block_gradient_parity(rng):
+    """Custom-VJP backward kernel vs jax.grad through the XLA einsum path:
+    input grads AND parameter grads (qkv/proj/MLP/LN/rel-pos-bias) must
+    match on an encoder with shifted blocks (masked windows exercised)."""
+    from ciaosr_tpu.models.swinir import SwinIREncoder
+    enc = SwinIREncoder(embed_dim=16, depths=(2,), num_heads=(2,),
+                        window_size=4, mlp_ratio=2.0)
+    x = jnp.asarray(rng.random((1, 8, 8, 3), dtype=np.float32))
+    params = enc.init(jax.random.PRNGKey(1), x)
+    tgt = jnp.asarray(rng.random((1, 8, 8, 16), dtype=np.float32))
+
+    def loss(p, flash):
+        out = enc.apply(p, x, flash)
+        return jnp.mean((out - tgt) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l_ker, g_ker = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert np.allclose(float(l_ref), float(l_ker), rtol=1e-2)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_ker = dict(jax.tree_util.tree_leaves_with_path(g_ker))
+    checked = 0
+    for path, ref_leaf in flat_ref:
+        ker_leaf = flat_ker[path]
+        ref_np, ker_np = np.asarray(ref_leaf), np.asarray(ker_leaf)
+        denom = max(np.abs(ref_np).max(), 1e-3)
+        assert np.abs(ker_np - ref_np).max() / denom < 5e-2, (
+            f"grad mismatch at {jax.tree_util.keystr(path)}: "
+            f"max|Δ|/max|ref| = "
+            f"{np.abs(ker_np - ref_np).max() / denom:.3e}")
+        checked += 1
+    assert checked >= 10  # LNs, qkv, proj, mlp, bias tables all present

@@ -32,7 +32,7 @@ GEN_TYPES = {"rdn": "LocalImplicitSRRDN", "edsr": "LocalImplicitSREDSR",
              "swinir": "LocalImplicitSRSWINIR"}
 
 
-def build(model: str, dtype="bf16"):
+def build(model: str, dtype="bf16", use_pallas=None):
     import ciaosr_tpu.models.restorers  # noqa: F401
     from ciaosr_tpu.models.restorers import CiaoSRRestorer
     gen = dict(type=GEN_TYPES[model], encoder=ENCODERS[model],
@@ -43,7 +43,8 @@ def build(model: str, dtype="bf16"):
                imnet_v=dict(type="MLPRefiner", out_dim=64,
                             hidden_list=[256] * 4),
                feat_unfold=True, eval_bsize=30000, dtype=dtype,
-               use_pallas=dtype == "bf16")
+               use_pallas=(use_pallas if use_pallas is not None
+                           else dtype == "bf16"))
     if model == "swinir":
         gen["window_size"] = 8
     return CiaoSRRestorer(generator=gen, test_cfg=dict(metrics=["PSNR"]))
@@ -68,6 +69,9 @@ def main():
     p.add_argument("--tile", type=int, default=192)
     p.add_argument("--train", action="store_true",
                    help="also benchmark the training step")
+    p.add_argument("--train-pallas", action="store_true",
+                   help="route the train step through the fused Swin"
+                        " block custom-VJP kernel (swinir only)")
     p.add_argument("--json", help="write results here")
     args = p.parse_args()
 
@@ -93,7 +97,8 @@ def main():
     if args.train:
         from ciaosr_tpu.train.optim import build_optimizer
         from ciaosr_tpu.train.trainer import TrainState, make_train_step
-        restorer_f32 = build(args.model, dtype=None)
+        restorer_f32 = build(args.model, dtype=None,
+                             use_pallas=args.train_pallas)
         tx, _ = build_optimizer(dict(type="Adam", lr=1e-4), None)
         step_fn = make_train_step(restorer_f32, tx)
         b, patch, q = 16, 48, 2304

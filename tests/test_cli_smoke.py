@@ -135,3 +135,89 @@ def test_cli_train_resume_and_eval(smoke_dir):
     out = _run(["tools/test.py", cfg, "None", "--split", "val",
                 "--deterministic"])
     assert "Eval results:" in out
+
+
+GAN_CONFIG_TMPL = textwrap.dedent("""\
+    exp_name = 'gan_smoke'
+    model = dict(
+        type='RealCiaoSR',
+        generator=dict(
+            type='LocalImplicitSREDSR',
+            encoder=dict(type='EDSR', in_channels=3, mid_channels=8,
+                         num_blocks=1),
+            imnet_q=dict(type='MLPRefiner', out_dim=3, hidden_list=[16]),
+            imnet_k=dict(type='MLPRefiner', out_dim=1, hidden_list=[16]),
+            imnet_v=dict(type='MLPRefiner', out_dim=1, hidden_list=[16]),
+            feat_unfold=True, eval_bsize=512),
+        rgb_mean=(0.4488, 0.4371, 0.4040), rgb_std=(1., 1., 1.),
+        discriminator=dict(type='UNetDiscriminatorWithSpectralNorm',
+                           in_channels=3, mid_channels=8),
+        pixel_loss=dict(type='L1Loss', loss_weight=1.0, reduction='mean'),
+        gan_loss=dict(type='GANLoss', gan_type='vanilla', loss_weight=0.1),
+        is_use_sharpened_gt_in_pixel=True,
+        is_use_ema=True)
+    train_cfg = dict(disc_steps=1, disc_init_steps=0, ema_momentum=0.999)
+    test_cfg = dict(metrics=['PSNR'], crop_border=2, scale=2,
+                    convert_to='y')
+    train_pipeline = [
+        dict(type='LoadImageFromFile', key='gt', channel_order='rgb'),
+        dict(type='Crop', keys=['gt'], crop_size=(16, 16), random_crop=True),
+        dict(type='RescaleToZeroOne', keys=['gt']),
+        dict(type='UnsharpMasking', keys=['gt'], kernel_size=51, sigma=0,
+             weight=0.5, threshold=10),
+        dict(type='CopyValues', src_keys=['gt_unsharp'], dst_keys=['lq']),
+        dict(type='RandomResize',
+             params=dict(resize_mode_prob=[0.0, 1.0, 0.0],
+                         resize_scale=[0.5, 0.75],
+                         resize_opt=['bilinear', 'area', 'bicubic'],
+                         resize_prob=[1 / 3.0] * 3),
+             keys=['lq']),
+        dict(type='Crop', keys=['lq'], crop_size=(8, 8), random_crop=True),
+        dict(type='Quantize', keys=['lq']),
+        dict(type='ImageToTensor', keys=['lq', 'gt', 'gt_unsharp']),
+        dict(type='GenerateCoordinateAndCell1', sample_quantity=64,
+             is_shuffle=False),
+        dict(type='Collect',
+             keys=['lq', 'gt', 'coord', 'cell', 'gt_unsharp'],
+             meta_keys=['gt_path'])]
+    data = dict(
+        workers_per_gpu=0,
+        train_dataloader=dict(samples_per_gpu=2),
+        train=dict(type='SRFolderGTDataset', gt_folder='{gt}',
+                   pipeline=train_pipeline, scale=2))
+    optimizers = dict(
+        generator=dict(type='Adam', lr=1e-4, betas=(0.9, 0.99)),
+        discriminator=dict(type='Adam', lr=1e-4, betas=(0.9, 0.99)))
+    total_iters = 3
+    lr_config = dict(policy='Step', by_epoch=False, step=[100], gamma=0.5)
+    checkpoint_config = dict(interval=3)
+    evaluation = dict(interval=1000)
+    log_config = dict(interval=1)
+    work_dir = '{wd}'
+    load_from = None
+""")
+
+
+def test_cli_gan_train_and_resume(smoke_dir):
+    """GANTrainer through tools/train.py: fresh run, auto-resume, and
+    --resume-from (the GAN trainer gained the resume surface in round 2 —
+    reference analogue: SRGAN runner + tools/train.py:90-101)."""
+    root = smoke_dir["root"]
+    wd = str(root / "gan_wd1")
+    cfg = root / "gan_cfg.py"
+    cfg.write_text(GAN_CONFIG_TMPL.format(gt=str(root / "gt"), wd=wd))
+
+    out = _run(["tools/train.py", str(cfg), "--total-iters", "3",
+                "--seed", "2"])
+    assert "[resume]" not in out
+    assert any(d.isdigit() and int(d) == 3
+               for d in os.listdir(os.path.join(wd, "checkpoints")))
+
+    out = _run(["tools/train.py", str(cfg), "--total-iters", "5",
+                "--seed", "2"])
+    assert "[resume] from iteration 3" in out
+
+    wd2 = str(root / "gan_wd2")
+    out = _run(["tools/train.py", str(cfg), "--work-dir", wd2,
+                "--resume-from", wd, "--total-iters", "6", "--seed", "2"])
+    assert f"[resume] from {wd} @ iteration 5" in out

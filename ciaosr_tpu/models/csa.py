@@ -112,13 +112,33 @@ class CrossScaleAttention(nn.Module):
             # reconstruction bank: s·3×3 patches of the embedding, stride s
             raw = extract_patches_same(embed, self.ksize * s, self.stride * s)
 
+            y = None
             if flash and self.average:
                 import jax
-                from ciaosr_tpu.ops.pallas.csa_attention import csa_attention
-                k_maps = csa_attention(
-                    x_nb, w_normed, raw, self.softmax_scale,
-                    out_dtype=self.dtype or jnp.float32,
-                    interpret=jax.default_backend() == "cpu")
+                from ciaosr_tpu.ops.pallas.csa_attention import (
+                    csa_attention, csa_attention_overlap_add)
+                interp = jax.default_backend() == "cpu"
+                rows = [r for r in range(1, 9)
+                        if hp % r == 0 and (r * wp) % 8 == 0]
+                if rows:
+                    # overlap-add fused into the attention epilogue: skips
+                    # the (B, P, (3s)²C) k_maps round-trip entirely; the
+                    # bank is re-extracted with plane-major columns (same
+                    # cost as the tap-major extraction it replaces)
+                    rsel = min(rows, key=lambda r: abs(r * wp - 1024))
+                    raw_pm = extract_patches_same(
+                        embed, self.ksize * s, self.stride * s,
+                        order="plane_major")
+                    y = csa_attention_overlap_add(
+                        x_nb, w_normed, raw_pm, self.softmax_scale, hp, wp,
+                        s, self.channels,
+                        out_dtype=self.dtype or jnp.float32,
+                        rows=rsel, interpret=interp)
+                else:  # pragma: no cover - odd geometry fallback
+                    k_maps = csa_attention(
+                        x_nb, w_normed, raw, self.softmax_scale,
+                        out_dtype=self.dtype or jnp.float32,
+                        interpret=interp)
             else:
                 corr = jnp.einsum("bpk,blk->bpl", x_nb, w_normed,
                                   preferred_element_type=jnp.float32)
@@ -132,7 +152,8 @@ class CrossScaleAttention(nn.Module):
                     attn = attn.astype(self.dtype)
                 k_maps = jnp.einsum("bpl,blk->bpk", attn, raw,
                                     preferred_element_type=jnp.float32)
-            y = _overlap_add(k_maps, hp, wp, s, self.channels)
+            if y is None:
+                y = _overlap_add(k_maps, hp, wp, s, self.channels)
 
             # strided conv back to input resolution (arch_csnln.py:423-428)
             name = "down" if s == 2 else f"downx{s}"

@@ -62,13 +62,20 @@ def gather_patches(feat: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
     return jnp.concatenate(outs, axis=-1)
 
 
-def extract_patches_same(x: jnp.ndarray, ksize: int, stride: int) -> jnp.ndarray:
+def extract_patches_same(x: jnp.ndarray, ksize: int, stride: int,
+                         order: str = "tap_major") -> jnp.ndarray:
     """Extract k×k patches with TF 'SAME' zero padding at a given stride.
 
-    x: (B, H, W, C) → (B, L, k*k*C), tap-major; L = ceil(H/s)·ceil(W/s).
+    x: (B, H, W, C) → (B, L, k*k*C); L = ceil(H/s)·ceil(W/s).
     Matches extract_image_patches(..., padding='same')
     (arch_csnln.py:32-87) up to the layout permute, which is private to our
     CSA formulation (both sides of its inner products use the same layout).
+
+    ``order``: tap-major (default) iterates taps (dy, dx) row-major;
+    "plane_major" (requires ksize = 3·stride) groups taps as
+    (t, r, a, b) with dy = stride·t + a, dx = stride·r + b — the layout
+    the fused overlap-add kernel consumes (each of the 9 conv_transpose
+    shift planes is one contiguous column slice).
     """
     b, h, w, c = x.shape
     out_h = -(-h // stride)
@@ -78,10 +85,19 @@ def extract_patches_same(x: jnp.ndarray, ksize: int, stride: int) -> jnp.ndarray
     top, left = pad_h // 2, pad_w // 2
     padded = jnp.pad(x, ((0, 0), (top, pad_h - top), (left, pad_w - left),
                          (0, 0)))
+    if order == "tap_major":
+        tap_seq = [(dy, dx) for dy in range(ksize) for dx in range(ksize)]
+    elif order == "plane_major":
+        if ksize != 3 * stride:
+            raise ValueError("plane_major requires ksize == 3*stride")
+        tap_seq = [(stride * t + a, stride * r + b)
+                   for t in range(3) for r in range(3)
+                   for a in range(stride) for b in range(stride)]
+    else:
+        raise ValueError(f"unknown order {order!r}")
     taps = []
-    for dy in range(ksize):
-        for dx in range(ksize):
-            taps.append(padded[:, dy:dy + (out_h - 1) * stride + 1:stride,
-                               dx:dx + (out_w - 1) * stride + 1:stride, :])
+    for dy, dx in tap_seq:
+        taps.append(padded[:, dy:dy + (out_h - 1) * stride + 1:stride,
+                           dx:dx + (out_w - 1) * stride + 1:stride, :])
     patches = jnp.concatenate(taps, axis=-1)  # (B, out_h, out_w, k*k*C)
     return patches.reshape(b, out_h * out_w, ksize * ksize * c)

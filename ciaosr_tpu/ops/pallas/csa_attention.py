@@ -113,3 +113,171 @@ def csa_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         interpret=interpret,
     )(q, k, v)
     return out[:, :p_actual]
+
+
+# ---------------------------------------------------------------------------
+# Round-2 fusion: overlap-add folded into the attention epilogue.
+#
+# The unfused path writes k_maps (B, P, (3s)²·C) to HBM (~170 MB bf16 for a
+# 192² tile) and then runs models/csa._overlap_add over it (~2.8 ms).
+# Here each query tile is R whole image rows and the value bank's columns
+# are PLANE-MAJOR — minor order (t, r, a, b, c), so each (t, r) tap plane
+# is one contiguous (TP, s²C) column slice. The (3s,3s)-kernel stride-s
+# paste (arch_csnln.py:511 conv_transpose) then reduces to NINE 2-D
+# row-shifted adds in VMEM: a shift of (t−1) image rows and (r−1) image
+# cols is a major-dim offset of (t−1)·Wp + (r−1) on the row-raveled tile,
+# with iota masks killing the column wrap-around — no vector reshapes
+# (Mosaic rejects minor-dim splits). Only (R+2)-row strips leave the core;
+# XLA adds the one-row strip halos and interleaves the s×s phases.
+# ---------------------------------------------------------------------------
+
+
+def plane_major_perm(s: int, c: int) -> "np.ndarray":
+    """Column permutation: tap-major (t, a, r, b, c) → plane-major
+    (t, r, a, b, c) for a (3s)² patch bank."""
+    import numpy as np
+    return np.arange(9 * s * s * c).reshape(
+        3, s, 3, s, c).transpose(0, 2, 1, 3, 4).reshape(-1)
+
+
+def _attn_oa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                    scale, n_l_tiles, l_actual, tl, rows, wp, s, channels):
+    li = pl.program_id(2)
+
+    @pl.when(li == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    col = li * tl + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+    sc = jnp.where(col < l_actual, sc, -jnp.inf)
+
+    m_prev = m_ref[...]
+    m_cur = jnp.max(sc, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(sc - m_new[:, :1])
+    l_ref[...] = l_ref[...] * corr + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), corr.shape)
+    m_ref[...] = m_new
+    pv = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * corr[:, :1] + pv
+
+    @pl.when(li == n_l_tiles - 1)
+    def _done():
+        tp = rows * wp
+        sc2 = s * s * channels
+        k_maps = acc_ref[...] / l_ref[..., :1]       # (TP, 9·s²C) plane-major
+        jblk = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0) % wp
+        total = (rows + 2) * wp + 2                  # +2: shift −1 headroom
+        strip = jnp.zeros((total, sc2), jnp.float32)
+        for t in range(3):
+            for r in range(3):
+                plane = k_maps[:, (3 * t + r) * sc2:(3 * t + r + 1) * sc2]
+                if r == 0:    # j'−1 would wrap to the previous image row
+                    plane = jnp.where(jblk == 0, 0.0, plane)
+                if r == 2:    # j'+1 would wrap to the next image row
+                    plane = jnp.where(jblk == wp - 1, 0.0, plane)
+                off = t * wp + (r - 1) + 1           # ∈ [0, 2wp+2]
+                strip = strip + jnp.pad(
+                    plane, ((off, total - tp - off), (0, 0)))
+        o_ref[0, 0] = strip[1:-1].astype(o_ref.dtype)
+
+
+def csa_attention_overlap_add(q, k, v_pm, scale: float, hp: int, wp: int,
+                              s: int, channels: int, out_dtype=jnp.float32,
+                              rows: int | None = None, tl: int = 1024,
+                              interpret: bool = False):
+    """softmax(q@kᵀ·scale) @ v followed by the (3s,3s)/stride-s overlap-add,
+    fused — returns the pasted map (B, s·Hp, s·Wp, C), pre-/6 and
+    pre-down-conv. ``v_pm`` must be the patch bank with PLANE-MAJOR columns
+    (see plane_major_perm / extract_patches_same(order="plane_major"));
+    q rows raveled row-major over (hp, wp), hp divisible by the row tile."""
+    b, p_actual, dk = q.shape
+    l_actual, dv = k.shape[1], v_pm.shape[2]
+    assert p_actual == hp * wp and dv == 9 * s * s * channels
+    if rows is None:
+        cands = [r for r in range(1, 9) if hp % r == 0 and (r * wp) % 8 == 0]
+        rows = min(cands, key=lambda r: abs(r * wp - 1024))
+    assert hp % rows == 0 and (rows * wp) % 8 == 0
+    tp = rows * wp
+    n_t = hp // rows
+    sc2 = s * s * channels
+
+    def pad_to(x, n, axis):
+        short = -x.shape[axis] % n
+        if short:
+            padding = [(0, 0)] * x.ndim
+            padding[axis] = (0, short)
+            x = jnp.pad(x, padding)
+        return x
+
+    k = pad_to(k, tl, 1)
+    v_pm = pad_to(v_pm, tl, 1)
+    n_l = k.shape[1] // tl
+
+    strips = pl.pallas_call(
+        functools.partial(_attn_oa_kernel, scale=scale, n_l_tiles=n_l,
+                          l_actual=l_actual, tl=tl, rows=rows, wp=wp, s=s,
+                          channels=channels),
+        grid=(b, n_t, n_l),
+        in_specs=[
+            pl.BlockSpec((1, tp, dk), lambda bi, pi, li: (bi, pi, 0)),
+            pl.BlockSpec((1, tl, dk), lambda bi, pi, li: (bi, li, 0)),
+            pl.BlockSpec((1, tl, dv), lambda bi, pi, li: (bi, li, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, (rows + 2) * wp, sc2),
+                               lambda bi, pi, li: (bi, pi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_t, (rows + 2) * wp, sc2),
+                                       out_dtype),
+        scratch_shapes=[pltpu.VMEM((tp, dv), jnp.float32),
+                        pltpu.VMEM((tp, 128), jnp.float32),
+                        pltpu.VMEM((tp, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * p_actual * l_actual * (dk + dv),
+            bytes_accessed=b * (p_actual * dk * 2
+                                + n_t * l_actual * (dk + dv) * 2),
+            transcendentals=b * p_actual * l_actual),
+        interpret=interpret,
+    )(q, k, v_pm)
+    return _combine_strips(strips, rows, hp, wp, s, channels)
+
+
+def _combine_strips(strips, rows: int, hp: int, wp: int, s: int,
+                    channels: int):
+    """Add the one-image-row halos between adjacent tile strips and
+    interleave the s×s phases:
+    (B, NT, (R+2)·Wp, s²C) → (B, s·Hp, s·Wp, C)."""
+    b, n_t, _, sc2 = strips.shape
+    heads = strips[:, :, :wp]                  # image row r0−1 of each tile
+    bodies = strips[:, :, wp:wp + rows * wp]
+    tails = strips[:, :, wp + rows * wp:]      # image row r0+R
+    zh = jnp.zeros_like(heads[:, :1])
+    heads_shift = jnp.concatenate([heads[:, 1:], zh], axis=1)
+    tails_shift = jnp.concatenate([zh, tails[:, :-1]], axis=1)
+    mid = rows * wp - 2 * wp
+    if mid > 0:
+        zmid = jnp.zeros((b, n_t, mid, sc2), bodies.dtype)
+        head_contrib = jnp.concatenate(
+            [jnp.zeros_like(tails_shift), zmid, heads_shift], axis=2)
+        tail_contrib = jnp.concatenate(
+            [tails_shift, zmid, jnp.zeros_like(heads_shift)], axis=2)
+    else:
+        head_contrib = jnp.concatenate(
+            [jnp.zeros_like(tails_shift), heads_shift], axis=2)
+        tail_contrib = jnp.concatenate(
+            [tails_shift, jnp.zeros_like(heads_shift)], axis=2)
+    out = bodies + head_contrib + tail_contrib   # (B, NT, R·Wp, s²C)
+    out = out.reshape(b, hp, wp, s, s, channels)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, hp * s, wp * s, channels)

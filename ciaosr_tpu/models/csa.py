@@ -116,21 +116,19 @@ class CrossScaleAttention(nn.Module):
             if flash and self.average:
                 import jax
                 from ciaosr_tpu.ops.pallas.csa_attention import (
-                    csa_attention, csa_attention_overlap_add)
+                    csa_attention, csa_fused)
                 interp = jax.default_backend() == "cpu"
                 rows = [r for r in range(1, 9)
                         if hp % r == 0 and (r * wp) % 8 == 0]
-                if rows:
-                    # overlap-add fused into the attention epilogue: skips
-                    # the (B, P, (3s)²C) k_maps round-trip entirely; the
-                    # bank is re-extracted with plane-major columns (same
-                    # cost as the tap-major extraction it replaces)
+                if rows and hp % s == 0 and wp % 8 == 0 \
+                        and (wp // s) % 8 == 0:
+                    # whole CSA middle in one kernel: q/v banks assembled
+                    # in VMEM from resident match/phase planes, softmax
+                    # online, overlap-add in the epilogue — no bank and no
+                    # (B, P, (3s)²C) k_maps ever reach HBM
                     rsel = min(rows, key=lambda r: abs(r * wp - 1024))
-                    raw_pm = extract_patches_same(
-                        embed, self.ksize * s, self.stride * s,
-                        order="plane_major")
-                    y = csa_attention_overlap_add(
-                        x_nb, w_normed, raw_pm, self.softmax_scale, hp, wp,
+                    y = csa_fused(
+                        match, w_normed, embed, self.softmax_scale, hp, wp,
                         s, self.channels,
                         out_dtype=self.dtype or jnp.float32,
                         rows=rsel, interpret=interp)

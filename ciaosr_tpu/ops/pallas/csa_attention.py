@@ -281,3 +281,198 @@ def _combine_strips(strips, rows: int, hp: int, wp: int, s: int,
     out = out.reshape(b, hp, wp, s, s, channels)
     return out.transpose(0, 1, 3, 2, 4, 5).reshape(
         b, hp * s, wp * s, channels)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 fusion, stage 2: q and v banks built IN-KERNEL.
+#
+# extract_patches_same writes x_nb (P, 9Cr) and raw (L, (3s)²C) to HBM
+# (~3.9 ms at 192²) and the attention loop re-reads the raw bank once per
+# query tile (~1.5 GB). But a patch tap is a pure MAJOR-DIM SHIFT of a
+# phase plane: raw[l, (t,r,a,b,c)] = embed[s(i+t-1)+a, s(j+r-1)+b, c]
+#                                  = embed_phase[a,b][l + (t-1)W' + (r-1)]
+# on the row-raveled L grid (W' = Wp/s) — zero-padded planes give the SAME
+# padding, iota masks kill the column wrap. So the kernel keeps the tiny
+# phase planes (s²·L·C ≈ 2.4 MB bf16) and match map VMEM-RESIDENT and
+# assembles each (TL, (3s)²C) value tile / (TP, 9Cr) query tile with nine
+# (or 36) shifted 2-D copies — no bank ever exists in HBM, nothing is
+# re-read per tile.
+# ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Round-2 fusion, stage 2: q and v banks built IN-KERNEL.
+#
+# extract_patches_same writes x_nb (P, 9Cr) and raw (L, (3s)²C) to HBM
+# (~3.9 ms at 192²) and the attention loop re-reads the raw bank once per
+# query tile (~1.5 GB). But a patch tap is a pure MAJOR-DIM SHIFT of a
+# phase plane: raw[l, (t,r,a,b,c)] = embed[s(i+t-1)+a, s(j+r-1)+b, c]
+#                                  = embed_phase[a,b][l + (t-1)W' + (r-1)]
+# on the row-raveled L grid (W' = Wp/s). Mosaic requires dynamic-slice
+# starts to be sublane-aligned, so the ±1 COLUMN shifts are pre-baked:
+# three column-shifted copies of the match map / each phase plane are
+# built outside (edge zeros included — that is exactly the SAME padding),
+# and the kernel only ever slices at row offsets that are multiples of
+# Wp / W'. The kernel keeps those copies VMEM-RESIDENT (a few MB) and
+# assembles each (TL, (3s)²C) value tile / (TP, 9Cr) query tile with
+# shifted 2-D loads — no bank ever exists in HBM, nothing is re-read per
+# tile.
+# ---------------------------------------------------------------------------
+
+
+def _csa_full_kernel(match_ref, k_ref, ph_ref, o_ref, acc_ref, m_ref, l_ref,
+                     *, scale, n_l_tiles, l_actual, tl, rows, wp, s,
+                     channels, cr, wq):
+    """match_ref: (3, P + 2·Wp, Cr) — dx-shifted copies of the match map.
+    k_ref: (L_pad, 9Cr) normalized reference patches (resident).
+    ph_ref: (3, L_pad + 2·W', s²C) — dr-shifted, phase-concatenated
+    planes of the embedding (minor order (a, b, c)).
+    o_ref: (1, 1, (rows+2)·Wp, s²C) overlap-added strip (last li only)."""
+    pi = pl.program_id(1)
+    li = pl.program_id(2)
+    tp = rows * wp
+    sc2 = s * s * channels
+
+    @pl.when(li == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # ---- query tile from the resident shifted match maps (9 row-slices)
+    p0 = pi * tp
+    q_parts = []
+    for dy in range(3):
+        for dx in range(3):
+            q_parts.append(match_ref[0, dx, pl.ds(p0 + dy * wp, tp), :])
+    q = jnp.concatenate(q_parts, axis=1)          # (TP, 9Cr)
+
+    k = k_ref[0, pl.ds(li * tl, tl), :]
+    sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    col = li * tl + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+    sc = jnp.where(col < l_actual, sc, -jnp.inf)
+
+    m_prev = m_ref[...]
+    m_cur = jnp.max(sc, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(sc - m_new[:, :1])
+    l_ref[...] = l_ref[...] * corr + jnp.broadcast_to(
+        jnp.sum(p, axis=-1, keepdims=True), corr.shape)
+    m_ref[...] = m_new
+
+    # ---- value tile from the resident shifted phase planes: the s²
+    # phases are pre-concatenated per column shift, so one (TL, s²C) load
+    # covers a whole (t, r) tap plane — 9 loads total
+    l0 = li * tl
+    v_parts = []
+    for t in range(3):
+        for r in range(3):
+            v_parts.append(ph_ref[0, r, pl.ds(l0 + t * wq, tl), :])
+    v = jnp.concatenate(v_parts, axis=1)          # (TL, (3s)²C) plane-major
+    pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] * corr[:, :1] + pv
+
+    @pl.when(li == n_l_tiles - 1)
+    def _done():
+        k_maps = acc_ref[...] / l_ref[..., :1]
+        jblk = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0) % wp
+        total = (rows + 2) * wp + 2
+        strip = jnp.zeros((total, sc2), jnp.float32)
+        for t in range(3):
+            for r in range(3):
+                plane = k_maps[:, (3 * t + r) * sc2:(3 * t + r + 1) * sc2]
+                if r == 0:
+                    plane = jnp.where(jblk == 0, 0.0, plane)
+                if r == 2:
+                    plane = jnp.where(jblk == wp - 1, 0.0, plane)
+                off = t * wp + (r - 1) + 1
+                strip = strip + jnp.pad(
+                    plane, ((off, total - tp - off), (0, 0)))
+        o_ref[0, 0] = strip[1:-1].astype(o_ref.dtype)
+
+
+def _col_shifted3(x2d):
+    """(B, H, W, C) → (B, 3, H, W, C): copies shifted by dx−1 columns with
+    zero fill — the SAME-padding column taps, pre-baked for aligned
+    in-kernel row slicing."""
+    left = jnp.pad(x2d[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    right = jnp.pad(x2d[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0)))
+    # dx = 0 reads column j−1 → right-shifted copy; dx = 2 → left-shifted
+    return jnp.stack([right, x2d, left], axis=1)
+
+
+def csa_fused(match, k, embed, scale: float, hp: int, wp: int, s: int,
+              channels: int, out_dtype=jnp.float32, rows: int | None = None,
+              tl: int = 1024, interpret: bool = False):
+    """Whole CSA middle — patch banks, attention, softmax, reconstruction
+    and overlap-add — in one kernel.
+
+    match: (B, Hp, Wp, Cr) conv_match_1 output; k: (B, L, 9Cr) normalized
+    reference patches; embed: (B, Hp, Wp, C) conv_assembly output.
+    Returns (B, s·Hp, s·Wp, C), pre-/6 and pre-down-conv.
+    Requires wp % 8 == 0 and (wp//s) % 8 == 0 (aligned row slicing).
+    """
+    b = match.shape[0]
+    cr = match.shape[-1]
+    wq = wp // s
+    l_actual = (hp // s) * wq
+    dv = 9 * s * s * channels
+    if rows is None:
+        cands = [r for r in range(1, 9) if hp % r == 0 and (r * wp) % 8 == 0]
+        rows = min(cands, key=lambda r: abs(r * wp - 1024))
+    assert hp % rows == 0 and (rows * wp) % 8 == 0
+    assert wp % 8 == 0 and wq % 8 == 0, "csa_fused needs aligned widths"
+    tp = rows * wp
+    n_t = hp // rows
+    tl = min(tl, -(-l_actual // 128) * 128)
+    l_pad = -(-l_actual // tl) * tl
+    n_l = l_pad // tl
+    sc2 = s * s * channels
+
+    # resident operands, pre-shifted and zero-padded for aligned slicing
+    m3 = _col_shifted3(match).reshape(b, 3, hp * wp, cr)
+    m3 = jnp.pad(m3, ((0, 0), (0, 0), (wp, wp), (0, 0)))
+    k_res = jnp.pad(k, ((0, 0), (0, l_pad - l_actual), (0, 0)))
+    # phase planes embed[a::s, b::s], concatenated over (a, b) in the
+    # minor dim, with the three dr column shifts
+    phases = jnp.concatenate([embed[:, a::s, bb::s, :]
+                              for a in range(s) for bb in range(s)],
+                             axis=-1)              # (B, H', W', s²C)
+    ph = _col_shifted3(phases)                     # (B, 3, H', W', s²C)
+    ph = ph.reshape(b, 3, l_actual, s * s * channels)
+    ph = jnp.pad(ph, ((0, 0), (0, 0), (wq, wq + l_pad - l_actual), (0, 0)))
+
+    strips = pl.pallas_call(
+        functools.partial(_csa_full_kernel, scale=scale, n_l_tiles=n_l,
+                          l_actual=l_actual, tl=tl, rows=rows, wp=wp, s=s,
+                          channels=channels, cr=cr, wq=wq),
+        grid=(b, n_t, n_l),
+        in_specs=[
+            pl.BlockSpec((1, 3, hp * wp + 2 * wp, cr),
+                         lambda bi, pi, li: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, l_pad, 9 * cr), lambda bi, pi, li: (bi, 0, 0)),
+            pl.BlockSpec((1, 3, l_pad + 2 * wq, s * s * channels),
+                         lambda bi, pi, li: (bi, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, (rows + 2) * wp, sc2),
+                               lambda bi, pi, li: (bi, pi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n_t, (rows + 2) * wp, sc2),
+                                       out_dtype),
+        scratch_shapes=[pltpu.VMEM((tp, dv), jnp.float32),
+                        pltpu.VMEM((tp, 128), jnp.float32),
+                        pltpu.VMEM((tp, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * l_actual * (9 * cr + dv),
+            bytes_accessed=b * (hp * wp * (cr + sc2) * 2
+                                + l_actual * (9 * cr + channels) * 2),
+            transcendentals=b * hp * wp * l_actual),
+        interpret=interpret,
+    )(m3, k_res, ph)
+    return _combine_strips(strips, rows, hp, wp, s, channels)

@@ -645,3 +645,254 @@ class RealRandomResize:
                               (w, h), interpolation=interp) for img in imgs]
             results[key] = out[0] if single else out
         return results
+
+
+@PIPELINES.register(name="UVSRDegradation")
+class UVSRDegradation:
+    """Video → frame-fused LR degradation (random_degradations.py:196-267):
+    5-frame reflection-padded temporal mean, stride-s temporal decimation
+    (keep-first), and MATLAB-bicubic 1/s spatial downsample per frame.
+
+    Frames are numpy (T, H, W, C); the reference's torch tensors map 1:1.
+    """
+
+    def __init__(self, params, keys):
+        if params.get("fuse_frames", 5) != 5:
+            raise ValueError("fuse_frames must be 5 (reference :229)")
+        self.params = params
+        self.keys = keys
+
+    def _apply(self, imgs):
+        imgs = np.asarray(imgs, np.float32)
+        t = imgs.shape[0]
+        if t <= 5:
+            raise ValueError("need more than fuse_frames frames")
+        # reflection pad [1,0] front / [-2,-3] back, then 5-wide means
+        padded = np.concatenate([imgs[1:2], imgs[0:1], imgs,
+                                 imgs[-2:-1], imgs[-3:-2]], axis=0)
+        fused = np.stack([padded[i - 2:i + 3].mean(axis=0)
+                          for i in range(2, len(padded) - 2)], axis=0)
+        if self.params.get("down", True):
+            sf = self.params["scale"]
+            if sf[1] != sf[2]:
+                raise ValueError("spatial scales must match (:254)")
+            fused = fused[::sf[0]]
+            from ciaosr_tpu.core.resize import imresize_np
+            fused = np.stack([imresize_np(f, scale=1.0 / sf[1])
+                              for f in fused], axis=0)
+        return fused
+
+    def __call__(self, results):
+        for key in self.keys:
+            results[key] = self._apply(results[key])
+        return results
+
+
+def _require_av():
+    try:
+        import av  # noqa: F401
+        return av
+    except ImportError as e:  # pragma: no cover - av absent in CI
+        raise ImportError(
+            "PyAV is required for video compression degradations "
+            "(reference random_degradations.py:288 `assert has_av`); "
+            "install `av` or drop the video-compression entries") from e
+
+
+@PIPELINES.register(name="RandomVideoCompression")
+class RandomVideoCompression:
+    """mp4 encode/decode round trip at a random codec/bitrate
+    (random_degradations.py:275-339). Requires PyAV, like the reference."""
+
+    def __init__(self, params, keys):
+        self.av = _require_av()
+        self.params = params
+        self.keys = keys
+
+    def _compress(self, rng, imgs):  # pragma: no cover - needs av
+        import io
+        av = self.av
+        codec = str(rng.choice(self.params["codec"],
+                               p=self.params.get("codec_prob")))
+        lo, hi = self.params["bitrate"]
+        bitrate = int(rng.integers(lo, hi + 1))
+        buf = io.BytesIO()
+        with av.open(buf, "w", "mp4") as container:
+            stream = container.add_stream(codec, rate=1)
+            stream.height, stream.width = imgs[0].shape[:2]
+            stream.pix_fmt = "yuv420p"
+            stream.bit_rate = bitrate
+            for img in imgs:
+                u8 = (np.clip(img, 0, 1) * 255.0).round().astype(np.uint8)
+                frame = av.VideoFrame.from_ndarray(u8, format="rgb24")
+                frame.pict_type = "NONE"
+                for packet in stream.encode(frame):
+                    container.mux(packet)
+            for packet in stream.encode():
+                container.mux(packet)
+        out = []
+        with av.open(buf, "r", "mp4") as container:
+            if container.streams.video:
+                for frame in container.decode(video=0):
+                    out.append(frame.to_rgb().to_ndarray().astype(
+                        np.float32) / 255.0)
+        return out
+
+    def __call__(self, results):  # pragma: no cover - needs av
+        rng = _rng(results)
+        if rng.uniform() > self.params.get("prob", 1):
+            return results
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            out = self._compress(rng, imgs)
+            results[key] = out[0] if single else out
+        return results
+
+
+@PIPELINES.register(name="OldRandomNoise")
+class OldRandomNoise(RealRandomNoise):
+    """KAIR-style paired (lq, gt) video degradation chain
+    (random_degradations.py:520-815): 16 shuffled slots of blur / resize
+    round-trip / gaussian / poisson / speckle / JPEG / video compression /
+    random shift, applied to `gt` to synthesize `lq` while tracking a
+    clean copy.
+
+    Defects in the reference NOT replicated (SURVEY.md §8 discipline):
+    its `_add_blur`/`_add_resize` reference their output lists outside the
+    probability gate (UnboundLocalError when the gate misses) and
+    `_add_resize` returns the last frame instead of the lists — here the
+    gates no-op correctly and lists flow through. Video-compression slots
+    require PyAV (reference asserts at __init__; we only require it when
+    the params actually configure a codec).
+    """
+
+    def __init__(self, params, keys):
+        super().__init__(params, keys)
+        if "codec" in params:
+            self.av = _require_av()
+
+    def _blur_pair(self, rng, imgs, hqs):
+        if rng.random() >= self.params.get("blur_prob", 0.5):
+            return imgs, hqs
+        from scipy.ndimage import convolve
+        sf = int(rng.choice(self.params.get("sf", [2, 3, 4])))
+        wd = 2.0 + 0.2 * sf
+        ks = 2 * int(rng.integers(2, 12)) + 3
+        k = gaussian_kernel(ks, wd * rng.random() + 1e-6)[..., None]
+        blur = lambda im: convolve(im, k, mode="mirror").astype(np.float32)
+        return [blur(i) for i in imgs], [blur(h) for h in hqs]
+
+    def _resize_pair(self, rng, imgs, hqs):
+        interp = int(rng.choice(self.params.get("inter_method", [1, 2, 3])))
+        r = rng.random()
+        sf = (rng.uniform(1, 2) if r > 0.75
+              else rng.uniform(0.5, 1) if r < 0.25 else 1.0)
+        if sf == 1.0:
+            return imgs, hqs
+
+        def rt(im):
+            h0, w0 = im.shape[:2]
+            w1, h1 = int(sf * w0) // 2 * 2, int(sf * h0) // 2 * 2
+            im = cv2.resize(im, (w1, h1), interpolation=interp)
+            im = cv2.resize(im, (w0, h0), interpolation=interp)
+            return np.clip(im, 0.0, 1.0).astype(np.float32)
+
+        return [rt(i) for i in imgs], [rt(h) for h in hqs]
+
+    def _shift_pair(self, rng, imgs, hqs):
+        if rng.random() >= self.params.get("shift_prob", 0.5):
+            return imgs, hqs
+        dy = 2 * int(rng.integers(0, 5))   # even: video-codec constraint
+        dx = 2 * int(rng.integers(0, 5))
+        return ([i[dy:, dx:] for i in imgs], [h[dy:, dx:] for h in hqs])
+
+    def __call__(self, results):
+        rng = _rng(results)
+        gt, single = _as_list(results["gt"])
+        imgs = [np.asarray(g, np.float32).copy() for g in gt]
+        hqs = [np.asarray(g, np.float32).copy() for g in gt]
+        n_deg = 16
+        order = (list(rng.permutation(n_deg))
+                 if rng.random() < self.params.get("shuffle_prob", 0.5)
+                 else list(range(n_deg)))
+        for i in order:
+            if i == 0:
+                imgs, hqs = self._blur_pair(rng, imgs, hqs)
+            elif i in (1, 8):
+                imgs, hqs = self._resize_pair(rng, imgs, hqs)
+            elif i in (2, 9):
+                imgs = self._gaussian(rng, imgs)
+            elif i in (3, 10):
+                imgs = self._poisson(rng, imgs)
+            elif i in (4, 11):
+                imgs = self._speckle(rng, imgs)
+            elif i in (6, 14):
+                imgs = self._jpeg(rng, imgs)
+            elif i in (7, 15) and "codec" in self.params:
+                imgs = RandomVideoCompression._compress(self, rng, imgs)
+            elif i == 13:
+                imgs, hqs = self._shift_pair(rng, imgs, hqs)
+        results["lq"] = imgs[0] if single else imgs
+        results["gt"] = hqs[0] if single else hqs
+        return results
+
+
+@PIPELINES.register(name="NorResize")
+class NorResize:
+    """Fixed-interpolation resize to a mode/scale-derived (or given)
+    target size (random_degradations.py:1045-1155).
+
+    The reference version is broken as written — it unconditionally
+    references an undefined ``img`` in a leftover crop block (:1088-1091)
+    and would NameError on any call; no config consumes it. This is the
+    intended behavior with that block removed (defect ledger, SURVEY.md
+    §8 discipline).
+    """
+
+    _INTERP = dict(bilinear=cv2.INTER_LINEAR, bicubic=cv2.INTER_CUBIC,
+                   area=cv2.INTER_AREA, lanczos=cv2.INTER_LANCZOS4)
+
+    def __init__(self, params, keys):
+        self.params = params
+        self.keys = keys
+        if params["resize_opt"] not in self._INTERP:
+            raise NotImplementedError(
+                f"resize_opt [{params['resize_opt']}] is not implemented")
+
+    def __call__(self, results):
+        rng = _rng(results)
+        p = self.params
+        interp = self._INTERP[p["resize_opt"]]
+        target_size = p.get("target_size")
+        resize_step = p.get("resize_step", 0) if target_size is None else 0
+        for key in self.keys:
+            imgs, single = _as_list(results[key])
+            h, w = imgs[0].shape[:2]
+            if target_size is None:
+                mode = rng.choice(["up", "down", "keep"],
+                                  p=p["resize_mode_prob"])
+                lo, hi = p["resize_scale"]
+                scale = (rng.uniform(1, hi) if mode == "up"
+                         else rng.uniform(lo, 1) if mode == "down" else 1.0)
+                if p.get("patch_size"):
+                    h = w = p["patch_size"]
+                h_out, w_out = h * scale, w * scale
+                if p.get("is_size_even", False):
+                    h_out, w_out = 2 * (h_out // 2), 2 * (w_out // 2)
+                tgt = (int(h_out), int(w_out))
+            else:
+                tgt = tuple(target_size)
+            out = []
+            for img in imgs:
+                out.append(cv2.resize(img, tgt[::-1], interpolation=interp))
+                if resize_step:
+                    lo, hi = p["resize_scale"]
+                    scale = np.clip(
+                        scale + rng.uniform(-resize_step, resize_step),
+                        lo, hi)
+                    h_out, w_out = h * scale, w * scale
+                    if p.get("is_size_even", False):
+                        h_out, w_out = 2 * (h_out // 2), 2 * (w_out // 2)
+                    tgt = (int(h_out), int(w_out))
+            results[key] = out[0] if single else out
+        return results

@@ -120,8 +120,12 @@ class CrossScaleAttention(nn.Module):
                 interp = jax.default_backend() == "cpu"
                 rows = [r for r in range(1, 9)
                         if hp % r == 0 and (r * wp) % 8 == 0]
+                # sc2 % 128: the strip epilogue pads at odd row offsets,
+                # which Mosaic only lowers for lane-aligned minor dims
+                # (C=64/s=2 → 256 ✓; SwinIR's C=180 → 720 ✗ falls back)
                 if rows and hp % s == 0 and wp % 8 == 0 \
-                        and (wp // s) % 8 == 0:
+                        and (wp // s) % 8 == 0 \
+                        and (s * s * self.channels) % 128 == 0:
                     # whole CSA middle in one kernel: q/v banks assembled
                     # in VMEM from resident match/phase planes, softmax
                     # online, overlap-add in the epilogue — no bank and no

@@ -227,3 +227,80 @@ def test_degradations_with_shuffle_groups():
     out = op({"lq": img.copy(), "_rng": np.random.default_rng(0)})
     assert abs(float(out["lq"][0, 0, 0])
                - (round(0.4 * 255) / 255 + 0.25)) < 1e-4
+
+
+def test_uvsr_degradation_fuse_and_downsample():
+    """5-frame reflection-padded temporal mean + temporal decimation +
+    MATLAB-bicubic spatial downsample (random_degradations.py:196-267)."""
+    from ciaosr_tpu.data.degradations import UVSRDegradation
+    from ciaosr_tpu.core.resize import imresize_np
+    rng = np.random.default_rng(0)
+    frames = rng.random((8, 12, 16, 3)).astype(np.float32)
+    op = UVSRDegradation(params=dict(fuse_frames=5, down=True,
+                                     scale=(2, 2, 2)), keys=["lq"])
+    out = op({"lq": frames})["lq"]
+    assert out.shape == (4, 6, 8, 3)  # T 8→(mean:8, ::2→4); HW /2
+    # frame 0 of the fused stack: mean of reflection-padded [1,0,0,1,2]
+    pad = np.concatenate([frames[1:2], frames[0:1], frames,
+                          frames[-2:-1], frames[-3:-2]], axis=0)
+    want = imresize_np(pad[0:5].mean(axis=0), scale=0.5)
+    np.testing.assert_allclose(out[0], want, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        UVSRDegradation(params=dict(fuse_frames=3), keys=["lq"])
+
+
+def test_old_random_noise_produces_lq_gt_pair():
+    """OldRandomNoise synthesizes (lq, gt): lq degraded, gt tracked clean
+    through the paired ops only (random_degradations.py:520-815); video
+    slots skipped without a codec config (PyAV-gated)."""
+    from ciaosr_tpu.data.degradations import OldRandomNoise
+    rng = np.random.default_rng(1)
+    frames = [rng.random((16, 16, 3)).astype(np.float32) for _ in range(3)]
+    op = OldRandomNoise(params=dict(
+        blur_prob=1.0, sf=[2], inter_method=[1],
+        gaussian_sigma=[5, 10], gaussian_gray_noise_prob=0.3,
+        poisson_scale=[0.1, 0.5], poisson_gray_noise_prob=0.3,
+        speckle_level=[5, 10], quality_range=[60, 90],
+        shift_prob=1.0, shuffle_prob=0.5), keys=["gt"])
+    out = op({"gt": [f.copy() for f in frames],
+              "_rng": np.random.default_rng(2)})
+    assert len(out["lq"]) == 3 and len(out["gt"]) == 3
+    assert out["lq"][0].shape == out["gt"][0].shape  # paired crops/resizes
+    # lq is degraded relative to the tracked gt
+    assert np.abs(out["lq"][0] - out["gt"][0]).mean() > 1e-3
+    for im in out["lq"] + out["gt"]:
+        assert np.isfinite(im).all()
+
+
+def test_random_video_compression_requires_av():
+    from ciaosr_tpu.data.degradations import RandomVideoCompression
+    try:
+        import av  # noqa: F401
+        pytest.skip("av installed; gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="PyAV"):
+        RandomVideoCompression(params=dict(codec=["libx264"],
+                                           codec_prob=[1.0],
+                                           bitrate=[1e4, 1e5]), keys=["lq"])
+
+
+def test_nor_resize_modes_and_target():
+    """NorResize intent (reference :1045-1155 is broken as written —
+    undefined `img`; see class docstring)."""
+    from ciaosr_tpu.data.degradations import NorResize
+    img = np.random.default_rng(3).random((20, 24, 3)).astype(np.float32)
+    # explicit target size
+    op = NorResize(params=dict(resize_opt="bicubic",
+                               target_size=(10, 12)), keys=["lq"])
+    out = op({"lq": img.copy(), "_rng": np.random.default_rng(0)})
+    assert out["lq"].shape == (10, 12, 3)
+    # mode-derived size: down ⇒ strictly smaller
+    op = NorResize(params=dict(resize_opt="bilinear",
+                               resize_mode_prob=[0.0, 1.0, 0.0],
+                               resize_scale=[0.5, 2.0]), keys=["lq"])
+    out = op({"lq": img.copy(), "_rng": np.random.default_rng(1)})
+    assert out["lq"].shape[0] < 20 and out["lq"].shape[1] < 24
+    with pytest.raises(NotImplementedError):
+        NorResize(params=dict(resize_opt="nearest"), keys=["lq"])

@@ -148,3 +148,24 @@ def test_fused_swin_block_gradient_parity(rng):
             f"{np.abs(ker_np - ref_np).max() / denom:.3e}")
         checked += 1
     assert checked >= 10  # LNs, qkv, proj, mlp, bias tables all present
+
+
+def test_csa_fused_full_kernel_parity(rng):
+    """csa_fused (in-kernel banks + overlap-add epilogue) vs the einsum
+    path at a gate-eligible geometry (s²·C multiple of 128)."""
+    from ciaosr_tpu.models.csa import CrossScaleAttention
+    c = 32  # s=2 → s²C = 128: the fused-path gate admits it
+    csa = CrossScaleAttention(channels=c, scales=(2,))
+    x = jnp.asarray(rng.random((2, 16, 16, c), dtype=np.float32))
+    params = csa.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(csa.apply(params, x))
+    got = np.asarray(csa.apply(params, x, True))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+    # and a gate-ineligible geometry still matches through the fallback
+    c2 = 8
+    csa2 = CrossScaleAttention(channels=c2, scales=(2,))
+    x2 = jnp.asarray(rng.random((1, 12, 16, c2), dtype=np.float32))
+    p2 = csa2.init(jax.random.PRNGKey(1), x2)
+    np.testing.assert_allclose(np.asarray(csa2.apply(p2, x2, True)),
+                               np.asarray(csa2.apply(p2, x2)),
+                               atol=2e-4, rtol=1e-3)

@@ -72,6 +72,10 @@ def main():
     p.add_argument("--train-pallas", action="store_true",
                    help="route the train step through the fused Swin"
                         " block custom-VJP kernel (swinir only)")
+    p.add_argument("--gan", action="store_true",
+                   help="benchmark the RealCiaoSR G+D train step (002 "
+                        "recipe shape; no perceptual loss — VGG weights "
+                        "need an offline conversion)")
     p.add_argument("--json", help="write results here")
     args = p.parse_args()
 
@@ -131,6 +135,58 @@ def main():
         results["train_step_ms"] = round(dt * 1e3, 1)
         results["train_iters_per_s"] = round(1.0 / dt, 2)
         print(f"train step (b{b}, {patch}px, {q}q): {dt * 1e3:.1f} ms "
+              f"({1 / dt:.2f} it/s)", flush=True)
+
+    if args.gan:
+        import ciaosr_tpu.models.real_restorer as rr
+        from ciaosr_tpu.train.optim import build_optimizer
+        gen = dict(type=GEN_TYPES[args.model], encoder=ENCODERS[args.model],
+                   imnet_q=dict(type="MLPRefiner", out_dim=3,
+                                hidden_list=[256] * 4),
+                   imnet_k=dict(type="MLPRefiner", out_dim=64,
+                                hidden_list=[256] * 4),
+                   imnet_v=dict(type="MLPRefiner", out_dim=64,
+                                hidden_list=[256] * 4),
+                   feat_unfold=True, non_local_attn=False,
+                   use_pallas=args.train_pallas)
+        if args.model == "swinir":
+            gen["window_size"] = 8
+        gan = rr.RealCiaoSRRestorer(
+            generator=gen,
+            discriminator=dict(type="UNetDiscriminatorWithSpectralNorm",
+                               in_channels=3, mid_channels=64),
+            pixel_loss=dict(type="L1Loss", loss_weight=1.0),
+            gan_loss=dict(type="GANLoss", gan_type="vanilla",
+                          loss_weight=0.1),
+            is_use_sharpened_gt_in_pixel=True,
+            train_cfg=dict(disc_steps=1, disc_init_steps=0,
+                           ema_momentum=0.999))
+        g_tx, _ = build_optimizer(dict(type="Adam", lr=1e-4), None)
+        d_tx, _ = build_optimizer(dict(type="Adam", lr=1e-4), None)
+        step_fn = gan.make_gan_train_step(g_tx, d_tx)
+        # 002 recipe: lq 64², 4096 contiguous queries (configs/002_*.py)
+        b, hw, q = 6, 64, 64 * 64
+        state = gan.init_gan_state(jax.random.PRNGKey(0), g_tx, d_tx,
+                                   lq_shape=(1, hw, hw, 3), n_queries=q)
+        batch = {
+            "lq": jnp.asarray(rng.random((b, hw, hw, 3), np.float32)),
+            "gt": jnp.asarray(rng.random((b, q, 3), np.float32)),
+            "gt_unsharp": jnp.asarray(rng.random((b, q, 3), np.float32)),
+            "coord": jnp.asarray(rng.uniform(
+                -0.99, 0.99, (b, q, 2)).astype(np.float32)),
+            "cell": jnp.full((b, q, 2), 2.0 / 256, jnp.float32),
+        }
+        state, m = step_fn(state, batch)  # compile
+        _ = float(m["loss_pix"])
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            state, m = step_fn(state, batch)
+        _ = float(m["loss_pix"])
+        dt = (time.perf_counter() - t0) / iters
+        results["gan_step_ms"] = round(dt * 1e3, 1)
+        results["gan_iters_per_s"] = round(1.0 / dt, 2)
+        print(f"GAN G+D step (b{b}, {hw}px, {q}q): {dt * 1e3:.1f} ms "
               f"({1 / dt:.2f} it/s)", flush=True)
 
     if args.json:

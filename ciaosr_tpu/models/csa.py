@@ -116,21 +116,40 @@ class CrossScaleAttention(nn.Module):
             if flash and self.average:
                 import jax
                 from ciaosr_tpu.ops.pallas.csa_attention import (
-                    csa_attention, csa_fused)
+                    aligned_channels, csa_attention, csa_fused)
                 interp = jax.default_backend() == "cpu"
                 rows = [r for r in range(1, 9)
                         if hp % r == 0 and (r * wp) % 8 == 0]
-                # sc2 % 128: the strip epilogue pads at odd row offsets,
-                # which Mosaic only lowers for lane-aligned minor dims
-                # (C=64/s=2 → 256 ✓; SwinIR's C=180 → 720 ✗ falls back)
+                # the strip epilogue pads at odd row offsets, which Mosaic
+                # only lowers for lane-aligned minor dims — csa_fused
+                # zero-pads channels up to aligned_channels (C=180/s=2 →
+                # 192). Admission is bounded by a VMEM estimate: the f32
+                # accumulator and the value tile grow with 9·s²·C' and
+                # must fit beside the resident planes (s=3 at C≥180
+                # doesn't — falls back to the streaming kernel).
+                fits = False
                 if rows and hp % s == 0 and wp % 8 == 0 \
-                        and (wp // s) % 8 == 0 \
-                        and (s * s * self.channels) % 128 == 0:
+                        and (wp // s) % 8 == 0:
+                    c_eff = aligned_channels(s, self.channels)
+                    rsel = min(rows, key=lambda r: abs(r * wp - 1024))
+                    tp = rsel * wp
+                    wq = wp // s
+                    l_act = (hp // s) * wq
+                    tl_eff = min(1024, -(-l_act // 128) * 128)
+                    l_pad = -(-l_act // tl_eff) * tl_eff
+                    dv = 9 * s * s * c_eff
+                    vmem = (tp * dv * 4             # f32 accumulator
+                            + 2 * tl_eff * dv * 2   # value tile (+concat)
+                            + 3 * (l_pad + 2 * wq) * s * s * c_eff * 2
+                            + 3 * (hp * wp + 2 * wp) * max(cr, 128) * 2
+                            + l_pad * max(9 * cr, 128) * 2
+                            + tp * tl_eff * 4)      # logits tile
+                    fits = vmem < 85 * 1024 * 1024
+                if fits:
                     # whole CSA middle in one kernel: q/v banks assembled
                     # in VMEM from resident match/phase planes, softmax
                     # online, overlap-add in the epilogue — no bank and no
                     # (B, P, (3s)²C) k_maps ever reach HBM
-                    rsel = min(rows, key=lambda r: abs(r * wp - 1024))
                     y = csa_fused(
                         match, w_normed, embed, self.softmax_scale, hp, wp,
                         s, self.channels,

@@ -405,6 +405,14 @@ def _col_shifted3(x2d):
     return jnp.stack([right, x2d, left], axis=1)
 
 
+def aligned_channels(s: int, channels: int) -> int:
+    """Smallest C' ≥ channels with s²·C' lane-aligned (multiple of 128) —
+    the minor dim the fused epilogue pastes/slices at."""
+    import math
+    per = 128 // math.gcd(s * s, 128)
+    return -(-channels // per) * per
+
+
 def csa_fused(match, k, embed, scale: float, hp: int, wp: int, s: int,
               channels: int, out_dtype=jnp.float32, rows: int | None = None,
               tl: int = 1024, interpret: bool = False):
@@ -415,11 +423,22 @@ def csa_fused(match, k, embed, scale: float, hp: int, wp: int, s: int,
     reference patches; embed: (B, Hp, Wp, C) conv_assembly output.
     Returns (B, s·Hp, s·Wp, C), pre-/6 and pre-down-conv.
     Requires wp % 8 == 0 and (wp//s) % 8 == 0 (aligned row slicing).
+
+    Non-lane-aligned s²C (e.g. SwinIR C=180, s=2 → 720) is handled by
+    zero-padding the embedding channels up to ``aligned_channels`` (192):
+    zero lanes ride the PV matmul and overlap-add unchanged and are
+    sliced off at the end — Mosaic only lowers the epilogue's odd-row-
+    offset pads (and the s²C-stride lane slices) for aligned minor dims.
     """
     b = match.shape[0]
     cr = match.shape[-1]
     wq = wp // s
     l_actual = (hp // s) * wq
+    c_out = channels
+    channels = aligned_channels(s, channels)
+    if channels != c_out:
+        embed = jnp.pad(embed, ((0, 0), (0, 0), (0, 0),
+                                (0, channels - c_out)))
     dv = 9 * s * s * channels
     if rows is None:
         cands = [r for r in range(1, 9) if hp % r == 0 and (r * wp) % 8 == 0]
@@ -475,4 +494,5 @@ def csa_fused(match, k, embed, scale: float, hp: int, wp: int, s: int,
             transcendentals=b * hp * wp * l_actual),
         interpret=interpret,
     )(m3, k_res, ph)
-    return _combine_strips(strips, rows, hp, wp, s, channels)
+    out = _combine_strips(strips, rows, hp, wp, s, channels)
+    return out[..., :c_out] if channels != c_out else out

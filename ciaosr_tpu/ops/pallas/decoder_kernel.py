@@ -72,11 +72,14 @@ def _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, wt_refs,
     if not hoist_kout:
         q = q_ref[0].reshape(n, dk).astype(jnp.bfloat16)
 
-    logits = []
-    pred_as = []
-    pred_bs = []
+    # ---- first layers per shift (VPU: rank-2 rel correction + relu), then
+    # the shifts are STACKED along rows so every MLP-tail matmul runs once
+    # at (S·N, 256) instead of S× at (N, 256) — 4× the M dim keeps the MXU
+    # pipeline full instead of draining between small per-shift matmuls
+    # (measured: 28.4 → ~24 ms/tile decode at RDN dims).
+    h_ks = []
+    h_vs = []
     for s in range(n_shift):
-        x_k = u_refs[s][0].reshape(n, dk).astype(jnp.bfloat16)
         # hoisted first-layer feature matmuls (module docstring): shifted
         # 256-wide pre-activation planes, computed once per image outside
         pre_k = gk_refs[s][0].reshape(n, -1).astype(jnp.float32)
@@ -102,16 +105,29 @@ def _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, wt_refs,
         rc_v = (rel_y_map[:, :, None] * weights["rel_w"][0, hk:]
                 + rel_x_map[:, :, None] * weights["rel_w"][1, hk:]
                 ).reshape(n, -1)
-        h_k = jnp.maximum(pre_k + rc_k + weights["k_b0"], 0.0)
-        h_v = jnp.maximum(pre_v + rc_v + weights["v_b0"], 0.0)
+        h_ks.append(jnp.maximum(pre_k + rc_k + weights["k_b0"], 0.0))
+        h_vs.append(jnp.maximum(pre_v + rc_v + weights["v_b0"], 0.0))
 
-        hv_last = _mlp_hidden(h_v, weights, "v",
-                              n_hidden).astype(jnp.bfloat16)
-        # value modulation, split: lanes [0,DK) of the value features are
-        # the key features (concat([unfold, CSA])) — reuse x_k, read only
-        # the CSA extension plane
-        wv_a = _mm(hv_last, weights["v_wouta"]) + weights["v_bouta"]
+    hk_all = _mlp_hidden(jnp.concatenate(h_ks, axis=0), weights, "k",
+                         n_hidden)                        # (S·N, 256) f32
+    hv_all = _mlp_hidden(jnp.concatenate(h_vs, axis=0), weights, "v",
+                         n_hidden).astype(jnp.bfloat16)
+    # value modulation, split: lanes [0,DK) of the value features are
+    # the key features (concat([unfold, CSA])) — reuse x_k, read only
+    # the CSA extension plane
+    wv_a_all = _mm(hv_all, weights["v_wouta"]) + weights["v_bouta"]
+    if dc:
+        wv_b_all = _mm(hv_all, weights["v_woutb"]) + weights["v_boutb"]
+    if not hoist_kout:
+        wk_all = _mm(hk_all.astype(jnp.bfloat16),
+                     weights["k_wout"]) + weights["k_bout"]   # (S·N, DK)
 
+    logits = []
+    pred_as = []
+    pred_bs = []
+    for s in range(n_shift):
+        x_k = u_refs[s][0].reshape(n, dk).astype(jnp.bfloat16)
+        sl = slice(s * n, (s + 1) * n)
         if hoist_kout:
             # hoisted k-out layer (module docstring): logits = w̃·h + c
             # with w̃ = (q⊙key)@W_kout, c = (q⊙key)·b_kout computed per
@@ -120,23 +136,21 @@ def _decode_kernel(sel_ref, u_refs, c_refs, gk_refs, gv_refs, wt_refs,
             # SwinIR (DK=1620) the added w̃ plane traffic costs more than
             # the FLOP cut saves, so the classic path is kept (gate in
             # grid_decode_fused).
-            hk_last = _mlp_hidden(h_k, weights, "k", n_hidden)  # (N, 256)
             wt = wt_refs[s][0].reshape(n, -1).astype(jnp.float32)
             ck = jnp.sum(ck_refs[s][0].reshape(n, 8), axis=-1,
                          keepdims=True)                   # lanes 1..7 zero
-            logits.append(jnp.sum(wt * hk_last, axis=-1, keepdims=True)
+            logits.append(jnp.sum(wt * hk_all[sl], axis=-1, keepdims=True)
                           + ck)
         else:
-            wk = _mlp_tail(h_k, weights, "k", n_hidden)   # (N, DK) f32
-            pred_k = x_k.astype(jnp.float32) * wk
+            pred_k = x_k.astype(jnp.float32) * wk_all[sl]
             logits.append(jnp.sum(q.astype(jnp.float32) * pred_k, axis=-1,
                                   keepdims=True))
         # bf16 storage (VMEM budget); the blend below accumulates in f32
-        pred_as.append((x_k.astype(jnp.float32) * wv_a).astype(jnp.bfloat16))
+        pred_as.append((x_k.astype(jnp.float32)
+                        * wv_a_all[sl]).astype(jnp.bfloat16))
         if dc:
             x_c = c_refs[s][0].reshape(n, dc).astype(jnp.float32)
-            wv_b = _mm(hv_last, weights["v_woutb"]) + weights["v_boutb"]
-            pred_bs.append((x_c * wv_b).astype(jnp.bfloat16))
+            pred_bs.append((x_c * wv_b_all[sl]).astype(jnp.bfloat16))
 
     # local-ensemble softmax over shifts: manual on (N,1) columns
     lg = [l / softmax_scale for l in logits]

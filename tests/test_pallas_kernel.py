@@ -161,11 +161,21 @@ def test_csa_fused_full_kernel_parity(rng):
     ref = np.asarray(csa.apply(params, x))
     got = np.asarray(csa.apply(params, x, True))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
-    # and a gate-ineligible geometry still matches through the fallback
+    # non-lane-aligned channels (s²C = 32) go through the fused path via
+    # the aligned_channels zero-pad (8 → 32; the SwinIR C=180 → 192 case
+    # at test size) — must match the einsum path exactly the same way
     c2 = 8
     csa2 = CrossScaleAttention(channels=c2, scales=(2,))
     x2 = jnp.asarray(rng.random((1, 12, 16, c2), dtype=np.float32))
     p2 = csa2.init(jax.random.PRNGKey(1), x2)
     np.testing.assert_allclose(np.asarray(csa2.apply(p2, x2, True)),
                                np.asarray(csa2.apply(p2, x2)),
+                               atol=2e-4, rtol=1e-3)
+    # a genuinely gate-ineligible geometry (width not 8-aligned) still
+    # matches through the streaming fallback
+    csa3 = CrossScaleAttention(channels=c2, scales=(2,))
+    x3 = jnp.asarray(rng.random((1, 12, 12, c2), dtype=np.float32))
+    p3 = csa3.init(jax.random.PRNGKey(2), x3)
+    np.testing.assert_allclose(np.asarray(csa3.apply(p3, x3, True)),
+                               np.asarray(csa3.apply(p3, x3)),
                                atol=2e-4, rtol=1e-3)

@@ -39,10 +39,12 @@ def main():
                                   lq_shape=(1, 48, 48, 3), n_queries=2304)
 
     rng = np.random.default_rng(0)
-    # two-tile batch = the tiled-eval engine's default working set (large
-    # images tile into many 192-LR tiles; the reference processes them
-    # sequentially, we batch them through the fused decoder kernel)
-    tb = 2
+    # single-tile dispatches: tiles of a large image are independent and
+    # pipeline through the in-order dispatch queue, so batching buys no
+    # throughput — measured B=1 9.88 vs B=2 9.48 MP/s (the 2-tile batch
+    # costs ~4% in HBM working set; round-1 kept it only to halve host
+    # dispatches, which the queue already hides)
+    tb = 1
     lq = jnp.asarray(rng.random((tb, LQ_TILE, LQ_TILE, 3),
                                 dtype=np.float32))
     fn = restorer._grid_fn(LQ_TILE, LQ_TILE, SCALE)

@@ -107,10 +107,14 @@ class CrossScaleAttention(nn.Module):
                 1e-4)
             w_normed = w_pat / norm                          # (B,L,9Cr)
 
-            # correlation: every full-res neighborhood vs every ref patch
-            x_nb = extract_patches_same(match, self.ksize, self.stride)
-            # reconstruction bank: s·3×3 patches of the embedding, stride s
-            raw = extract_patches_same(embed, self.ksize * s, self.stride * s)
+            # correlation neighborhoods / reconstruction bank: only the
+            # non-fused paths materialize these (the fused kernel builds
+            # both in VMEM); keeping the extractions inside the branches
+            # guarantees no dead gather work rides the fused trace
+            def x_nb_raw():
+                return (extract_patches_same(match, self.ksize, self.stride),
+                        extract_patches_same(embed, self.ksize * s,
+                                             self.stride * s))
 
             y = None
             if flash and self.average:
@@ -138,11 +142,16 @@ class CrossScaleAttention(nn.Module):
                     tl_eff = min(1024, -(-l_act // 128) * 128)
                     l_pad = -(-l_act // tl_eff) * tl_eff
                     dv = 9 * s * s * c_eff
+                    # resident operands inherit the compute dtype — an
+                    # f32 run doubles them and blows the 100 MB scoped
+                    # VMEM at the 192-tile geometry (measured), so the
+                    # estimate must use the real element size
+                    es = 2 if self.dtype == jnp.bfloat16 else 4
                     vmem = (tp * dv * 4             # f32 accumulator
-                            + 2 * tl_eff * dv * 2   # value tile (+concat)
-                            + 3 * (l_pad + 2 * wq) * s * s * c_eff * 2
-                            + 3 * (hp * wp + 2 * wp) * max(cr, 128) * 2
-                            + l_pad * max(9 * cr, 128) * 2
+                            + 2 * tl_eff * dv * es  # value tile (+concat)
+                            + 3 * (l_pad + 2 * wq) * s * s * c_eff * es
+                            + 3 * (hp * wp + 2 * wp) * max(cr, 128) * es
+                            + l_pad * max(9 * cr, 128) * es
                             + tp * tl_eff * 4)      # logits tile
                     fits = vmem < 85 * 1024 * 1024
                 if fits:
@@ -156,11 +165,13 @@ class CrossScaleAttention(nn.Module):
                         out_dtype=self.dtype or jnp.float32,
                         rows=rsel, interpret=interp)
                 else:  # pragma: no cover - odd geometry fallback
+                    x_nb, raw = x_nb_raw()
                     k_maps = csa_attention(
                         x_nb, w_normed, raw, self.softmax_scale,
                         out_dtype=self.dtype or jnp.float32,
                         interpret=interp)
             else:
+                x_nb, raw = x_nb_raw()
                 corr = jnp.einsum("bpk,blk->bpl", x_nb, w_normed,
                                   preferred_element_type=jnp.float32)
                 attn = nn.softmax(corr * self.softmax_scale, axis=-1)

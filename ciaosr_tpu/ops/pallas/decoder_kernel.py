@@ -34,6 +34,8 @@ Traffic/FLOP structure (what is hoisted and what is deduplicated):
 from __future__ import annotations
 
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -238,7 +240,8 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
                       params: dict, scale: int, local_size: int,
                       softmax_scale: float, rows: int = 4,
                       interpret: bool = False,
-                      hoist_kout: bool | None = None) -> jnp.ndarray:
+                      hoist_kout: bool | None = None,
+                      assembly: str | None = None) -> jnp.ndarray:
     """Run the fused decoder over all phases.
 
     u_map: (B,H,W,DK) unfolded features (bf16 ok); csa_map: optional
@@ -248,6 +251,12 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
     params: generator params dict with imnet_k/v/q subtrees.
     Returns (B·s², H, W, 3) float32 phase images (pre-residual), image-major
     (image b's phase p at index b·s² + p).
+
+    ``assembly``: "halo" (default where eligible) assembles the shifted
+    planes IN-KERNEL from three column-variant copies of one merged map
+    (see _grid_decode_halo) instead of materializing nine shifted copies
+    of every plane family in HBM; "stacked" is the original 9-plane path
+    (also the fallback for non-hoisted wide-DK models and odd widths).
     """
     from ciaosr_tpu.models.ciaosr import shift_offsets
 
@@ -260,6 +269,21 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
     n_hidden = len([k for k in params["imnet_k"] if k.startswith("layers")])
     cell_val = 2.0 / s
 
+    if hoist_kout is None:
+        hoist_kout = dk <= 1024
+    hidden_k = params["imnet_k"]["layers_0"]["kernel"].shape[-1]
+    halo_ok = (hoist_kout and w % 8 == 0 and h > 1
+               and (n_hidden > 1 or hidden_k % 128 == 0))
+    if assembly is None:
+        assembly = "halo" if halo_ok else "stacked"
+    if assembly == "halo":
+        if not halo_ok:
+            raise ValueError("halo assembly needs hoist_kout, W % 8 == 0 "
+                             "and H > 1")
+        return _grid_decode_halo(u_map, csa_map, params, s, shifts,
+                                 n_hidden, cell_val, softmax_scale, rows,
+                                 interpret)
+
     u9 = _shift_planes(u_map.astype(jnp.bfloat16))
     c9 = _shift_planes(csa_map.astype(jnp.bfloat16)) if dc else None
     query = u_map.astype(jnp.bfloat16)
@@ -271,8 +295,6 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
     # and dot per (pixel, phase, shift) (~s²× the FLOPs). Measured: wins
     # for DK=576 (RDN/EDSR); loses for DK=1620 (SwinIR — added plane
     # traffic beats the FLOP cut), hence the width gate.
-    if hoist_kout is None:
-        hoist_kout = dk <= 1024
     if hoist_kout:
         w_kout_t = params["imnet_k"]["out"]["kernel"].T.astype(jnp.bfloat16)
         b_kout = params["imnet_k"]["out"]["bias"].astype(jnp.float32)
@@ -447,6 +469,414 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
       *([c9] * n_shift if dc else []),
       *([gk9] * n_shift), *([gv9] * n_shift),
       *([wt9] * n_shift + [ck9] * n_shift if hoist_kout else [query]),
+      jnp.asarray(rely), jnp.asarray(relx),
+      *[weights[k] for k in w_names])
+    return out[..., :3]
+
+
+# ---------------------------------------------------------------------------
+# Round-2 "halo" assembly: shifted planes fetched, not materialized.
+#
+# The stacked path above materializes nine edge-shifted copies of every
+# plane family (u_map / CSA / g_k / g_v) in HBM (~0.8 GB of stack writes
+# per 192² RDN tile, ~8 ms of glue). But an edge-clamped (dy,dx) shift
+# decomposes into a column half and a row half:
+#   * columns: only three variants (dx ∈ {-1,0,1}) exist — pre-baked as
+#     copies, because a ±1 column shift of the row-raveled tile is a ±1
+#     SUBLANE shift, which Mosaic cannot slice at (same lesson as
+#     csa_fused, csa_attention.py); the index map picks the variant per
+#     (phase, shift) via scalar prefetch, exactly like the stacked path
+#     picks planes;
+#   * rows: with one baked edge row of padding top and bottom, the
+#     (dy,dx)-shifted block IS the rows-tall window of column variant
+#     dx+1 starting at image row i·rows + dy — fetched directly with an
+#     ELEMENT-granularity row start (pl BlockDim Element; the row stride
+#     W·lanes keeps any start sublane-aligned), so no nine-plane stack,
+#     no halo overfetch, and no in-kernel assembly exist at all.
+# The families are lane-concatenated into ONE 128-aligned map (u padded
+# to ⌈DK/128⌉·128 | CSA to ⌈DC/128⌉ | g_k | g_v) so each shift is a
+# single DMA, and in-kernel lane slices land on 128 boundaries.
+# ---------------------------------------------------------------------------
+
+
+def a128(x):
+    """Smallest multiple of 128 ≥ x (lane-tile alignment)."""
+    return -(-x // 128) * 128
+
+
+def _pad_lanes(x, to):
+    short = to - x.shape[-1]
+    if short == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, short)]
+    return jnp.pad(x, pad)
+
+
+def _edge_col_shifted3(x):
+    """(B,H,W,C) → (B,3,H,W,C): edge-clamped column shifts; variant
+    cx = dx+1 holds x[:, :, clamp(j+dx)]."""
+    minus = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
+    plus = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
+    return jnp.stack([minus, x, plus], axis=1)
+
+
+def _phase_tables(s, h, w, shifts):
+    """Per-(phase, shift) integer shift components and rel-coordinate
+    rows (ciaosr_net.py:176-215 grid decomposition — same math as the
+    stacked path, with (dy, dx) returned separately for the halo path's
+    column-variant / row-offset selection)."""
+    def axis_consts(n_, big_n):
+        rel = (2.0 * np.arange(s) + 1.0) / s - 1.0
+        rx = (1.0 - 2.0 / big_n) / (n_ - 1)
+        d = {0: np.zeros(s, np.int64)}
+        for sign in (-1, 1):
+            d[sign] = np.round(rel / 2 + sign * (n_ * rx / 2)
+                               + n_ * 1e-6 / 2).astype(np.int64)
+        return rel, d
+
+    rel_y, dy_tab = axis_consts(h, s * h)
+    rel_x, dx_tab = axis_consts(w, s * w)
+    phases = [(a, b) for a in range(s) for b in range(s)]
+    n_phase, n_shift = len(phases), len(shifts)
+    dys = np.zeros((n_phase, n_shift), np.int32)
+    dxs = np.zeros((n_phase, n_shift), np.int32)
+    rely = np.zeros((n_phase, n_shift, h), np.float32)
+    relx = np.zeros((n_phase, n_shift, w), np.float32)
+    m_h, m_w = np.arange(h), np.arange(w)
+    for p, (a, b) in enumerate(phases):
+        for si, (vy, vx) in enumerate(shifts):
+            dy = int(dy_tab[int(np.sign(vy))][a]) if vy else 0
+            dx = int(dx_tab[int(np.sign(vx))][b]) if vx else 0
+            dys[p, si], dxs[p, si] = dy, dx
+            dye = np.clip(m_h + dy, 0, h - 1) - m_h
+            dxe = np.clip(m_w + dx, 0, w - 1) - m_w
+            rely[p, si] = rel_y[a] - 2.0 * dye
+            relx[p, si] = rel_x[b] - 2.0 * dxe
+    return dys, dxs, rely, relx
+
+
+def _wt_kernel(*refs, rows, width, dk):
+    """All nine hoisted k-out planes for one row block:
+    wt(dy,dx) = (q ⊙ shift(u)) @ W_koutᵀ, ck(dy,dx) = (q ⊙ shift(u))·b.
+    Reads the three column-variant u windows ONCE (static row slices —
+    dy is a compile-time constant here) instead of materializing
+    u9/q_rep/qk9 (~1.1 GB of HBM round-trips at 192²/DK=576)."""
+    f_refs, wk_ref, bmat_ref, wt_ref, ck_ref = \
+        refs[:3], refs[3], refs[4], refs[5], refs[6]
+    n = rows * width
+    wk = wk_ref[...]
+    bmat = bmat_ref[...]
+    cats = [f_refs[cx][0, 0].reshape((rows + 2) * width, -1)
+            for cx in range(3)]
+    q = cats[1][width:width + n]
+    for dy in range(3):
+        for cx in range(3):
+            qk = cats[cx][dy * width:dy * width + n] * q
+            wt_ref[3 * dy + cx] = _mm(qk, wk).astype(wt_ref.dtype).reshape(
+                rows, width, -1)
+            ck_ref[3 * dy + cx] = _mm(qk, bmat).reshape(rows, width, 8)
+
+
+def _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u, h, w, bsz, h_last,
+                     interpret):
+    """Run _wt_kernel over (image, row-block); f3p is the row-padded
+    column-variant merged map — only its u segment (lanes [o_u, o_u+dk),
+    o_u a multiple of 128) is fetched, as one (rows+2)-row window per
+    column variant (element-granularity row starts)."""
+    from jax._src.pallas.core import Element
+
+    rows = max(r for r in range(1, 9) if h % r == 0)
+    n_blocks = h // rows
+    dk_pad = a128(dk)
+    wk = jnp.pad(w_kout_t.astype(jnp.bfloat16), ((0, dk_pad - dk), (0, 0)))
+    bmat = jnp.zeros((dk_pad, 8), jnp.bfloat16).at[:dk, 0].set(
+        b_kout.astype(jnp.bfloat16))
+
+    # Mosaic requires all-Element (or no-Element) block dims, so every
+    # dim carries an element offset; only the row and lane starts are
+    # non-block (the u segment is read at its 128-padded width — block
+    # lane dims must be 128-divisible)
+    in_specs = [pl.BlockSpec(
+        (Element(1), Element(1), Element(rows + 2), Element(w),
+         Element(dk_pad)),
+        (lambda b, i, c=cx: (b, c, i * rows, 0, o_u)))
+        for cx in range(3)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+
+    wt9, ck9 = pl.pallas_call(
+        functools.partial(_wt_kernel, rows=rows, width=w, dk=dk),
+        grid=(bsz, n_blocks),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((9, rows, w, h_last), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((9, rows, w, 8), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz * 9, h, w, h_last), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz * 9, h, w, 8), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * 9 * h * w * dk * (h_last + 8),
+            bytes_accessed=bsz * h * w * (3 * dk * 2
+                                          + 9 * (h_last * 2 + 8 * 4)),
+            transcendentals=0),
+        interpret=interpret,
+    )(*([f3p] * 3), wk, bmat)
+    return wt9, ck9
+
+
+def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, rely_ref,
+                        relx_ref, w_refs, out_ref, *, n_shift, n_hidden,
+                        softmax_scale, rows, width, dk, dc, hk_p, hv_p):
+    n = rows * width
+    weights = {k: r[...] for k, r in w_refs.items()}
+    hk = weights["k_b0"].shape[-1]
+    p_idx = pl.program_id(1)
+    i_blk = pl.program_id(2)
+    # segment order [g_k | g_v | CSA(pad) | u]: every slice START is a
+    # multiple of 128 (hk_p/hv_p/dc_p are 128-aligned); the arbitrary-
+    # width u tail needs no padding because nothing follows it
+    o_gv = hk_p
+    o_c = hk_p + hv_p
+    o_u = o_c + (a128(dc) if dc else 0)
+
+    # the (dy,dx)-shifted tiles arrive pre-assembled: the index maps pick
+    # the column variant (sel col 0) and an element-granularity row start
+    # i·rows + dy + 1 into the edge-row-padded map (sel col 1), so each
+    # shift is exactly one rows-tall DMA — no stacked copies, no halo
+    # overfetch
+    tiles, h_ks, h_vs = [], [], []
+    for sft in range(n_shift):
+        tile = main_refs[sft][0, 0].reshape(n, -1)
+        tiles.append(tile)
+
+        pre_k = tile[:, :weights["k_b0"].shape[-1]].astype(jnp.float32)
+        pre_v = tile[:, o_gv:o_gv
+                     + weights["v_b0"].shape[-1]].astype(jnp.float32)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+        rel_y_map = jnp.zeros((rows, width), jnp.float32)
+        for r in range(rows):
+            ry = rely_ref[p_idx, sft, i_blk * rows + r]
+            rel_y_map = jnp.where(row_ids == r, ry, rel_y_map)
+        relx = relx_ref[0, sft, :]
+        rel_x_map = jnp.broadcast_to(relx[None, :], (rows, width))
+        rc_k = (rel_y_map[:, :, None] * weights["rel_w"][0, :hk]
+                + rel_x_map[:, :, None] * weights["rel_w"][1, :hk]
+                ).reshape(n, hk)
+        rc_v = (rel_y_map[:, :, None] * weights["rel_w"][0, hk:]
+                + rel_x_map[:, :, None] * weights["rel_w"][1, hk:]
+                ).reshape(n, -1)
+        h_ks.append(jnp.maximum(pre_k + rc_k + weights["k_b0"], 0.0))
+        h_vs.append(jnp.maximum(pre_v + rc_v + weights["v_b0"], 0.0))
+
+    hk_all = _mlp_hidden(jnp.concatenate(h_ks, axis=0), weights, "k",
+                         n_hidden)                        # (S·N, 256) f32
+    hv_all = _mlp_hidden(jnp.concatenate(h_vs, axis=0), weights, "v",
+                         n_hidden).astype(jnp.bfloat16)
+    wv_a_all = _mm(hv_all, weights["v_wouta"]) + weights["v_bouta"]
+    if dc:
+        wv_b_all = _mm(hv_all, weights["v_woutb"]) + weights["v_boutb"]
+
+    logits, pred_as, pred_bs = [], [], []
+    for sft in range(n_shift):
+        sl = slice(sft * n, (sft + 1) * n)
+        wt = wt_refs[sft][0].reshape(n, -1).astype(jnp.float32)
+        ck = jnp.sum(ck_refs[sft][0].reshape(n, 8), axis=-1, keepdims=True)
+        logits.append(jnp.sum(wt * hk_all[sl], axis=-1, keepdims=True) + ck)
+        x_k = tiles[sft][:, o_u:o_u + dk].astype(jnp.float32)
+        pred_as.append((x_k * wv_a_all[sl]).astype(jnp.bfloat16))
+        if dc:
+            x_c = tiles[sft][:, o_c:o_c + dc].astype(jnp.float32)
+            pred_bs.append((x_c * wv_b_all[sl]).astype(jnp.bfloat16))
+
+    # local-ensemble softmax over shifts (identical to the stacked path)
+    lg = [l / softmax_scale for l in logits]
+    mx = lg[0]
+    for sft in range(1, n_shift):
+        mx = jnp.maximum(mx, lg[sft])
+    ex = [jnp.exp(l - mx) for l in lg]
+    denom = ex[0]
+    for sft in range(1, n_shift):
+        denom = denom + ex[sft]
+    attn = [e / denom for e in ex]
+    outv_a = pred_as[0].astype(jnp.float32) * attn[0]
+    for sft in range(1, n_shift):
+        outv_a = outv_a + pred_as[sft].astype(jnp.float32) * attn[sft]
+
+    pre_q = _mm(outv_a.astype(jnp.bfloat16), weights["q_w0a"])
+    if dc:
+        outv_b = pred_bs[0].astype(jnp.float32) * attn[0]
+        for sft in range(1, n_shift):
+            outv_b = outv_b + pred_bs[sft].astype(jnp.float32) * attn[sft]
+        pre_q = pre_q + _mm(outv_b.astype(jnp.bfloat16), weights["q_w0b"])
+    h_q = jnp.maximum(pre_q + weights["q_b0"], 0.0)
+    rgb = _mlp_tail(h_q, weights, "q", n_hidden)
+    out_ref[0] = rgb[:, :8].reshape(rows, width, 8)
+
+
+def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
+                      cell_val, softmax_scale, rows, interpret):
+    """grid_decode_fused with in-kernel shift assembly (see the section
+    comment above): ~3× less glue HBM traffic than the stacked path —
+    three column variants of one merged plane replace four 9-plane
+    stacks, and _wt_hoist_planes replaces the u9/q_rep/qk9 chain."""
+    bsz, h, w, dk = u_map.shape
+    dc = 0 if csa_map is None else csa_map.shape[-1]
+    dv = dk + dc
+    n_shift = len(shifts)
+
+    # hoisted first-layer feature matmuls (same as the stacked path)
+    wk0 = params["imnet_k"]["layers_0"]["kernel"][:dk].astype(jnp.bfloat16)
+    wv0 = params["imnet_v"]["layers_0"]["kernel"][:dv].astype(jnp.bfloat16)
+    u_flat = u_map.astype(jnp.bfloat16).reshape(-1, dk)
+    g_k = _mm(u_flat, wk0)
+    g_v = _mm(u_flat, wv0[:dk])
+    if dc:
+        g_v = g_v + _mm(csa_map.astype(jnp.bfloat16).reshape(-1, dc),
+                        wv0[dk:])
+    hidden_k, hidden_v = g_k.shape[-1], g_v.shape[-1]
+
+    hk_p, hv_p = a128(hidden_k), a128(hidden_v)
+    dc_p = a128(dc) if dc else 0
+    o_u = hk_p + hv_p + dc_p
+    lanes = o_u + a128(dk)
+    # segment order [g_k | g_v | CSA | u]: every slice start is
+    # lane-aligned, every in-kernel slice reads its TRUE width (no weight
+    # padding anywhere); the u segment is zero-padded to 128 lanes only
+    # because Mosaic block lane dims must be 128-divisible
+    segs = [_pad_lanes(
+        g_k.reshape(bsz, h, w, hidden_k).astype(jnp.bfloat16), hk_p),
+        _pad_lanes(
+        g_v.reshape(bsz, h, w, hidden_v).astype(jnp.bfloat16), hv_p)]
+    if dc:
+        segs.append(_pad_lanes(csa_map.astype(jnp.bfloat16), dc_p))
+    segs.append(_pad_lanes(u_map.astype(jnp.bfloat16), a128(dk)))
+    # column variants + one edge row top/bottom: row r+1 of f3p holds
+    # image row r, rows 0 / H+1 are the baked edge clamp — so a window
+    # at element row start i·rows + (dy+1) IS the (dy,dx)-shifted block
+    f3p = jnp.pad(_edge_col_shifted3(jnp.concatenate(segs, axis=-1)),
+                  ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+
+    w_kout_t = params["imnet_k"]["out"]["kernel"].T
+    b_kout = params["imnet_k"]["out"]["bias"]
+    h_last = w_kout_t.shape[-1]
+    wt9, ck9 = _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u, h, w,
+                                bsz, h_last, interpret)
+
+    dys, dxs, rely, relx = _phase_tables(s, h, w, shifts)
+    n_phase = dys.shape[0]
+    # sel columns: [column variant dx+1, row offset dy+1, wt plane index]
+    sel = np.stack([dxs + 1, dys + 1, (dys + 1) * 3 + (dxs + 1)],
+                   axis=-1).astype(np.int32)
+
+    weights = {}
+    weights.update(_pack_weights(params["imnet_k"], "k", dk, cell_val,
+                                 n_hidden, with_out=False))
+    weights.update(_pack_weights(params["imnet_v"], "v", dv, cell_val,
+                                 n_hidden))
+    weights.update(_pack_weights(params["imnet_q"], "q", dv, cell_val,
+                                 n_hidden, with_rc=False, pad_out=True))
+
+    # joint rel rows + v-out / q-first splits: identical to the stacked
+    # path (unpadded — the in-kernel slices read true widths at
+    # lane-aligned starts)
+    rel_w = jnp.zeros((2, weights["k_b0"].shape[-1]
+                       + weights["v_b0"].shape[-1]), jnp.float32)
+    rel_w = rel_w.at[0].set(jnp.concatenate([weights.pop("k_wrely"),
+                                             weights.pop("v_wrely")]))
+    rel_w = rel_w.at[1].set(jnp.concatenate([weights.pop("k_wrelx"),
+                                             weights.pop("v_wrelx")]))
+    weights["rel_w"] = rel_w
+    v_wout = weights.pop("v_wout")
+    v_bout = weights.pop("v_bout")
+    weights["v_wouta"], weights["v_bouta"] = v_wout[:, :dk], v_bout[:dk]
+    q_w0 = weights.pop("q_w0")
+    weights["q_w0a"] = q_w0[:dk]
+    if dc:
+        weights["v_woutb"], weights["v_boutb"] = v_wout[:, dk:], v_bout[dk:]
+        weights["q_w0b"] = q_w0[dk:]
+    w_names = sorted(weights)
+
+    # single-DMA shifts remove the stacked path's small-block pressure;
+    # taller blocks win here (22.4 vs 22.7 ms at 192² — fewer grid steps,
+    # same exact reads), so prefer 8 rows over the caller's stacked-path
+    # tuning
+    rows = max(r for r in range(1, min(8, h) + 1) if h % r == 0)
+    n_blocks = h // rows
+
+    from jax._src.pallas.core import Element
+
+    def main_spec(si):
+        # all-Element block dims (Mosaic constraint); only the row start
+        # is a true element offset
+        return pl.BlockSpec((Element(1), Element(1), Element(rows),
+                             Element(w), Element(lanes)),
+                            (lambda b, p, i, sref, s_=si:
+                             (b, sref[p, s_, 0],
+                              i * rows + sref[p, s_, 1], 0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, n_phase, n_blocks),
+        in_specs=[
+            *[main_spec(si) for si in range(n_shift)],
+            *[pl.BlockSpec((1, rows, w, h_last),
+                           (lambda b, p, i, sref, s_=si:
+                            (b * 9 + sref[p, s_, 2], i, 0, 0)))
+              for si in range(n_shift)],
+            *[pl.BlockSpec((1, rows, w, 8),
+                           (lambda b, p, i, sref, s_=si:
+                            (b * 9 + sref[p, s_, 2], i, 0, 0)))
+              for si in range(n_shift)],
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rely (P,S,H)
+            pl.BlockSpec((1, n_shift, w), lambda b, p, i, sref: (p, 0, 0)),
+            *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w_names],
+        ],
+        out_specs=pl.BlockSpec((1, rows, w, 8),
+                               lambda b, p, i, sref: (b * n_phase + p, i,
+                                                      0, 0)),
+    )
+
+    def kernel(sel_ref, *refs):
+        main_refs = refs[:n_shift]
+        wt_refs = refs[n_shift:2 * n_shift]
+        ck_refs = refs[2 * n_shift:3 * n_shift]
+        rest = refs[3 * n_shift:]
+        rely_ref, relx_ref = rest[0], rest[1]
+        w_refs = dict(zip(w_names, rest[2:2 + len(w_names)]))
+        out_ref = refs[-1]
+        _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs,
+                            rely_ref, relx_ref, w_refs, out_ref,
+                            n_shift=n_shift, n_hidden=n_hidden,
+                            softmax_scale=softmax_scale, rows=rows,
+                            width=w, dk=dk, dc=dc, hk_p=hk_p, hv_p=hv_p)
+
+    mlp_flops = ((n_hidden - 1) * 256 * 256
+                 + (n_hidden - 1) * 256 * 256 + 256 * (dk + dc))
+    halo_lanes = lanes + h_last + 8
+    cost = pl.CostEstimate(
+        flops=2 * bsz * n_phase * h * w * (n_shift * mlp_flops
+                                           + (dk + dc) * 256
+                                           + (n_hidden - 1) * 65536),
+        bytes_accessed=bsz * n_phase * h * w * halo_lanes * n_shift * 2,
+        transcendentals=bsz * n_phase * h * w * n_shift)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz * n_phase, h, w, 8),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(jnp.asarray(sel),
+      *([f3p] * n_shift),
+      *([wt9] * n_shift), *([ck9] * n_shift),
       jnp.asarray(rely), jnp.asarray(relx),
       *[weights[k] for k in w_names])
     return out[..., :3]

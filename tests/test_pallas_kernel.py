@@ -58,6 +58,51 @@ def test_fused_kernel_matches_grid_path(rng, scale, non_local, batch,
                                atol=2e-3, rtol=1e-2)
 
 
+@pytest.mark.parametrize("scale,non_local,batch",
+                         [(2, True, 1), (3, True, 2), (4, False, 1)])
+def test_halo_assembly_matches_grid_path(rng, scale, non_local, batch):
+    """The round-2 'halo' assembly (in-kernel shifted-plane construction
+    from column variants + halo rows, ops/pallas/decoder_kernel.py
+    _grid_decode_halo) must match the XLA grid path — including the
+    image-border rows/columns where the index-map clamp has to reproduce
+    _shift_planes' edge padding, hence the asymmetric 8×16 geometry."""
+    net = build_generator(dict(
+        type="LocalImplicitSRRDN",
+        encoder=dict(type="RDN", in_channels=3, mid_channels=16,
+                     num_blocks=2, num_layers=3, channel_growth=8),
+        imnet_q=dict(type="MLPRefiner", out_dim=3, hidden_list=[32, 32]),
+        imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[32, 32]),
+        imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[32, 32]),
+        non_local_attn=non_local))
+    x = jnp.asarray(rng.random((batch, 8, 16, 3), dtype=np.float32))
+    params = net.init(jax.random.PRNGKey(0), x, jnp.zeros((batch, 8, 2)),
+                      jnp.full((batch, 8, 2), 0.1))
+    feat = net.apply(params, x, method="gen_feature")
+    ref = net.apply(params, feat, x, scale, method="query_rgb_grid")
+
+    u = unfold_nhwc(feat)
+    if non_local:
+        csa = CrossScaleAttention(channels=16, scales=(2,))
+        csa_map = csa.apply({"params": params["params"]["cs_attn"]}, feat)
+    else:
+        csa_map = None
+    phases = grid_decode_fused(u, csa_map, params["params"], scale=scale,
+                               local_size=2, softmax_scale=1.0, rows=2,
+                               interpret=True, assembly="halo")
+    h, w = 8, 16
+    img = phases.reshape(batch, scale, scale, h, w, 3).transpose(
+        0, 3, 1, 4, 2, 5).reshape(batch, scale * h, scale * w, 3)
+    img = img + interpolate_bilinear(x, scale * h, scale * w)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               atol=2e-3, rtol=1e-2)
+    # and bit-parity against the stacked assembly (same kernel numerics)
+    ph2 = grid_decode_fused(u, csa_map, params["params"], scale=scale,
+                            local_size=2, softmax_scale=1.0, rows=2,
+                            interpret=True, assembly="stacked")
+    np.testing.assert_allclose(np.asarray(phases), np.asarray(ph2),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_restorer_pallas_routing(rng):
     """use_pallas generators route single-image grid decodes through the
     fused kernel (interpret mode on CPU) and match the XLA grid path."""

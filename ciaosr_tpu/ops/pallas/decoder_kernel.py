@@ -271,18 +271,15 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
 
     if hoist_kout is None:
         hoist_kout = dk <= 1024
-    hidden_k = params["imnet_k"]["layers_0"]["kernel"].shape[-1]
-    halo_ok = (hoist_kout and w % 8 == 0 and h > 1
-               and (n_hidden > 1 or hidden_k % 128 == 0))
+    halo_ok = w % 8 == 0 and h > 1
     if assembly is None:
         assembly = "halo" if halo_ok else "stacked"
     if assembly == "halo":
         if not halo_ok:
-            raise ValueError("halo assembly needs hoist_kout, W % 8 == 0 "
-                             "and H > 1")
+            raise ValueError("halo assembly needs W % 8 == 0 and H > 1")
         return _grid_decode_halo(u_map, csa_map, params, s, shifts,
                                  n_hidden, cell_val, softmax_scale, rows,
-                                 interpret)
+                                 interpret, hoist_kout)
 
     u9 = _shift_planes(u_map.astype(jnp.bfloat16))
     c9 = _shift_planes(csa_map.astype(jnp.bfloat16)) if dc else None
@@ -628,9 +625,10 @@ def _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u, h, w, bsz, h_last,
     return wt9, ck9
 
 
-def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, rely_ref,
-                        relx_ref, w_refs, out_ref, *, n_shift, n_hidden,
-                        softmax_scale, rows, width, dk, dc, hk_p, hv_p):
+def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, q_ref,
+                        rely_ref, relx_ref, w_refs, out_ref, *, n_shift,
+                        n_hidden, softmax_scale, rows, width, dk, dc,
+                        hk_p, hv_p, hoist_kout):
     n = rows * width
     weights = {k: r[...] for k, r in w_refs.items()}
     hk = weights["k_b0"].shape[-1]
@@ -679,14 +677,26 @@ def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, rely_ref,
     wv_a_all = _mm(hv_all, weights["v_wouta"]) + weights["v_bouta"]
     if dc:
         wv_b_all = _mm(hv_all, weights["v_woutb"]) + weights["v_boutb"]
+    if not hoist_kout:
+        # wide-DK models (SwinIR): k-out layer runs in-kernel against the
+        # unshifted query tile, exactly like the stacked non-hoist branch
+        q = q_ref[0, 0].reshape(n, -1)[:, :dk].astype(jnp.float32)
+        wk_all = _mm(hk_all.astype(jnp.bfloat16),
+                     weights["k_wout"]) + weights["k_bout"]   # (S·N, DK)
 
     logits, pred_as, pred_bs = [], [], []
     for sft in range(n_shift):
         sl = slice(sft * n, (sft + 1) * n)
-        wt = wt_refs[sft][0].reshape(n, -1).astype(jnp.float32)
-        ck = jnp.sum(ck_refs[sft][0].reshape(n, 8), axis=-1, keepdims=True)
-        logits.append(jnp.sum(wt * hk_all[sl], axis=-1, keepdims=True) + ck)
         x_k = tiles[sft][:, o_u:o_u + dk].astype(jnp.float32)
+        if hoist_kout:
+            wt = wt_refs[sft][0].reshape(n, -1).astype(jnp.float32)
+            ck = jnp.sum(ck_refs[sft][0].reshape(n, 8), axis=-1,
+                         keepdims=True)
+            logits.append(jnp.sum(wt * hk_all[sl], axis=-1, keepdims=True)
+                          + ck)
+        else:
+            logits.append(jnp.sum(q * x_k * wk_all[sl], axis=-1,
+                                  keepdims=True))
         pred_as.append((x_k * wv_a_all[sl]).astype(jnp.bfloat16))
         if dc:
             x_c = tiles[sft][:, o_c:o_c + dc].astype(jnp.float32)
@@ -718,11 +728,14 @@ def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, rely_ref,
 
 
 def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
-                      cell_val, softmax_scale, rows, interpret):
-    """grid_decode_fused with in-kernel shift assembly (see the section
+                      cell_val, softmax_scale, rows, interpret,
+                      hoist_kout):
+    """grid_decode_fused with halo-fetched shift planes (see the section
     comment above): ~3× less glue HBM traffic than the stacked path —
     three column variants of one merged plane replace four 9-plane
-    stacks, and _wt_hoist_planes replaces the u9/q_rep/qk9 chain."""
+    stacks, and _wt_hoist_planes replaces the u9/q_rep/qk9 chain (the
+    non-hoisted wide-DK case instead adds one unshifted query window and
+    runs the k-out layer in-kernel)."""
     bsz, h, w, dk = u_map.shape
     dc = 0 if csa_map is None else csa_map.shape[-1]
     dv = dk + dc
@@ -760,11 +773,12 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
     f3p = jnp.pad(_edge_col_shifted3(jnp.concatenate(segs, axis=-1)),
                   ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
 
-    w_kout_t = params["imnet_k"]["out"]["kernel"].T
-    b_kout = params["imnet_k"]["out"]["bias"]
-    h_last = w_kout_t.shape[-1]
-    wt9, ck9 = _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u, h, w,
-                                bsz, h_last, interpret)
+    if hoist_kout:
+        w_kout_t = params["imnet_k"]["out"]["kernel"].T
+        b_kout = params["imnet_k"]["out"]["bias"]
+        h_last = w_kout_t.shape[-1]
+        wt9, ck9 = _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u, h, w,
+                                    bsz, h_last, interpret)
 
     dys, dxs, rely, relx = _phase_tables(s, h, w, shifts)
     n_phase = dys.shape[0]
@@ -774,7 +788,7 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
 
     weights = {}
     weights.update(_pack_weights(params["imnet_k"], "k", dk, cell_val,
-                                 n_hidden, with_out=False))
+                                 n_hidden, with_out=not hoist_kout))
     weights.update(_pack_weights(params["imnet_v"], "v", dv, cell_val,
                                  n_hidden))
     weights.update(_pack_weights(params["imnet_q"], "q", dv, cell_val,
@@ -803,8 +817,9 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
     # single-DMA shifts remove the stacked path's small-block pressure;
     # taller blocks win here (22.4 vs 22.7 ms at 192² — fewer grid steps,
     # same exact reads), so prefer 8 rows over the caller's stacked-path
-    # tuning
-    rows = max(r for r in range(1, min(8, h) + 1) if h % r == 0)
+    # tuning; wide-DK models halve the block height to stay inside VMEM
+    rmax = 8 if lanes <= 1536 else 2
+    rows = max(r for r in range(1, min(rmax, h) + 1) if h % r == 0)
     n_blocks = h // rows
 
     from jax._src.pallas.core import Element
@@ -818,19 +833,26 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
                              (b, sref[p, s_, 0],
                               i * rows + sref[p, s_, 1], 0, 0)))
 
+    # the unshifted query window (non-hoist only): column variant 1,
+    # row offset +1 — i.e. the identity shift of the u segment
+    q_spec = pl.BlockSpec((Element(1), Element(1), Element(rows),
+                           Element(w), Element(a128(dk))),
+                          (lambda b, p, i, sref:
+                           (b, 1, i * rows + 1, 0, o_u)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, n_phase, n_blocks),
         in_specs=[
             *[main_spec(si) for si in range(n_shift)],
-            *[pl.BlockSpec((1, rows, w, h_last),
-                           (lambda b, p, i, sref, s_=si:
-                            (b * 9 + sref[p, s_, 2], i, 0, 0)))
-              for si in range(n_shift)],
-            *[pl.BlockSpec((1, rows, w, 8),
-                           (lambda b, p, i, sref, s_=si:
-                            (b * 9 + sref[p, s_, 2], i, 0, 0)))
-              for si in range(n_shift)],
+            *([pl.BlockSpec((1, rows, w, h_last),
+                            (lambda b, p, i, sref, s_=si:
+                             (b * 9 + sref[p, s_, 2], i, 0, 0)))
+               for si in range(n_shift)]
+              + [pl.BlockSpec((1, rows, w, 8),
+                              (lambda b, p, i, sref, s_=si:
+                               (b * 9 + sref[p, s_, 2], i, 0, 0)))
+                 for si in range(n_shift)]
+              if hoist_kout else [q_spec]),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # rely (P,S,H)
             pl.BlockSpec((1, n_shift, w), lambda b, p, i, sref: (p, 0, 0)),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w_names],
@@ -842,21 +864,31 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
 
     def kernel(sel_ref, *refs):
         main_refs = refs[:n_shift]
-        wt_refs = refs[n_shift:2 * n_shift]
-        ck_refs = refs[2 * n_shift:3 * n_shift]
-        rest = refs[3 * n_shift:]
+        pos = n_shift
+        if hoist_kout:
+            wt_refs = refs[pos:pos + n_shift]
+            ck_refs = refs[pos + n_shift:pos + 2 * n_shift]
+            q_ref = None
+            pos += 2 * n_shift
+        else:
+            wt_refs = ck_refs = None
+            q_ref = refs[pos]
+            pos += 1
+        rest = refs[pos:]
         rely_ref, relx_ref = rest[0], rest[1]
         w_refs = dict(zip(w_names, rest[2:2 + len(w_names)]))
         out_ref = refs[-1]
-        _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs,
+        _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, q_ref,
                             rely_ref, relx_ref, w_refs, out_ref,
                             n_shift=n_shift, n_hidden=n_hidden,
                             softmax_scale=softmax_scale, rows=rows,
-                            width=w, dk=dk, dc=dc, hk_p=hk_p, hv_p=hv_p)
+                            width=w, dk=dk, dc=dc, hk_p=hk_p, hv_p=hv_p,
+                            hoist_kout=hoist_kout)
 
     mlp_flops = ((n_hidden - 1) * 256 * 256
+                 + (0 if hoist_kout else 256 * dk)
                  + (n_hidden - 1) * 256 * 256 + 256 * (dk + dc))
-    halo_lanes = lanes + h_last + 8
+    halo_lanes = lanes + ((h_last + 8) if hoist_kout else a128(dk))
     cost = pl.CostEstimate(
         flops=2 * bsz * n_phase * h * w * (n_shift * mlp_flops
                                            + (dk + dc) * 256
@@ -876,7 +908,7 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
         interpret=interpret,
     )(jnp.asarray(sel),
       *([f3p] * n_shift),
-      *([wt9] * n_shift), *([ck9] * n_shift),
+      *([wt9] * n_shift + [ck9] * n_shift if hoist_kout else [f3p]),
       jnp.asarray(rely), jnp.asarray(relx),
       *[weights[k] for k in w_names])
     return out[..., :3]

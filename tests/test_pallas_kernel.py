@@ -58,9 +58,14 @@ def test_fused_kernel_matches_grid_path(rng, scale, non_local, batch,
                                atol=2e-3, rtol=1e-2)
 
 
-@pytest.mark.parametrize("scale,non_local,batch",
-                         [(2, True, 1), (3, True, 2), (4, False, 1)])
-def test_halo_assembly_matches_grid_path(rng, scale, non_local, batch):
+@pytest.mark.parametrize("scale,non_local,batch,hoist",
+                         [(2, True, 1, None), (3, True, 2, None),
+                          (4, False, 1, None),
+                          # wide-DK (SwinIR-sized) branch: k-out layer
+                          # runs in-kernel against the query window
+                          (2, True, 1, False)])
+def test_halo_assembly_matches_grid_path(rng, scale, non_local, batch,
+                                         hoist):
     """The round-2 'halo' assembly (in-kernel shifted-plane construction
     from column variants + halo rows, ops/pallas/decoder_kernel.py
     _grid_decode_halo) must match the XLA grid path — including the
@@ -88,7 +93,8 @@ def test_halo_assembly_matches_grid_path(rng, scale, non_local, batch):
         csa_map = None
     phases = grid_decode_fused(u, csa_map, params["params"], scale=scale,
                                local_size=2, softmax_scale=1.0, rows=2,
-                               interpret=True, assembly="halo")
+                               interpret=True, assembly="halo",
+                               hoist_kout=hoist)
     h, w = 8, 16
     img = phases.reshape(batch, scale, scale, h, w, 3).transpose(
         0, 3, 1, 4, 2, 5).reshape(batch, scale * h, scale * w, 3)
@@ -98,7 +104,8 @@ def test_halo_assembly_matches_grid_path(rng, scale, non_local, batch):
     # and bit-parity against the stacked assembly (same kernel numerics)
     ph2 = grid_decode_fused(u, csa_map, params["params"], scale=scale,
                             local_size=2, softmax_scale=1.0, rows=2,
-                            interpret=True, assembly="stacked")
+                            interpret=True, assembly="stacked",
+                            hoist_kout=hoist)
     np.testing.assert_allclose(np.asarray(phases), np.asarray(ph2),
                                atol=2e-5, rtol=1e-4)
 

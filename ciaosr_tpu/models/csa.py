@@ -129,9 +129,13 @@ class CrossScaleAttention(nn.Module):
                 # zero-pads channels up to aligned_channels (C=180/s=2 →
                 # 192). Admission is bounded by a VMEM estimate: the f32
                 # accumulator and the value tile grow with 9·s²·C' and
-                # must fit beside the resident planes (s=3 at C≥180
-                # doesn't — falls back to the streaming kernel).
+                # must fit beside the resident planes; when the RESIDENT
+                # planes are what blows the budget (192-tile SwinIR), the
+                # windowed variant streams them as element-offset windows
+                # instead, and only truly odd geometries fall back to the
+                # streaming-bank kernel.
                 fits = False
+                windowed = False
                 if rows and hp % s == 0 and wp % 8 == 0 \
                         and (wp // s) % 8 == 0:
                     c_eff = aligned_channels(s, self.channels)
@@ -154,16 +158,45 @@ class CrossScaleAttention(nn.Module):
                             + l_pad * max(9 * cr, 128) * es
                             + tp * tl_eff * 4)      # logits tile
                     fits = vmem < 85 * 1024 * 1024
+                    if not fits:
+                        # windowed variant: the match/phase planes arrive
+                        # as per-instance element-offset windows instead
+                        # of resident maps (csa_attention.py), so only the
+                        # accumulator/tiles bound admission — search the
+                        # (rows, tl) grid for a fit
+                        for rw, tlw in [(r_, t_)
+                                        for t_ in (tl_eff, 512, 256)
+                                        for r_ in sorted(
+                                            rows,
+                                            key=lambda r: abs(r * wp
+                                                              - 1024))
+                                        if t_ >= 256 and t_ <= tl_eff]:
+                            tpw = rw * wp
+                            vmem_w = (
+                                tpw * dv * 4
+                                + 2 * tlw * dv * es
+                                + 3 * (tlw + 2 * wq) * s * s * c_eff
+                                * es * 2
+                                + 3 * (tpw + 2 * wp) * max(cr, 128)
+                                * es * 2
+                                + l_pad * max(9 * cr, 128) * es
+                                + 2 * tpw * tlw * 4)
+                            if vmem_w < 85 * 1024 * 1024:
+                                fits = windowed = True
+                                rsel, tl_sel = rw, tlw
+                                break
                 if fits:
                     # whole CSA middle in one kernel: q/v banks assembled
-                    # in VMEM from resident match/phase planes, softmax
-                    # online, overlap-add in the epilogue — no bank and no
+                    # in VMEM from resident match/phase planes (or
+                    # per-instance windows of them), softmax online,
+                    # overlap-add in the epilogue — no bank and no
                     # (B, P, (3s)²C) k_maps ever reach HBM
                     y = csa_fused(
                         match, w_normed, embed, self.softmax_scale, hp, wp,
                         s, self.channels,
                         out_dtype=self.dtype or jnp.float32,
-                        rows=rsel, interpret=interp)
+                        rows=rsel, interpret=interp, windowed=windowed,
+                        tl=tl_sel if windowed else 1024)
                 else:  # pragma: no cover - odd geometry fallback
                     x_nb, raw = x_nb_raw()
                     k_maps = csa_attention(

@@ -323,12 +323,45 @@ def _combine_strips(strips, rows: int, hp: int, wp: int, s: int,
 def _csa_full_kernel(match_ref, k_ref, ph_ref, o_ref, acc_ref, m_ref, l_ref,
                      *, scale, n_l_tiles, l_actual, tl, rows, wp, s,
                      channels, cr, wq):
-    """match_ref: (3, P + 2·Wp, Cr) — dx-shifted copies of the match map.
-    k_ref: (L_pad, 9Cr) normalized reference patches (resident).
-    ph_ref: (3, L_pad + 2·W', s²C) — dr-shifted, phase-concatenated
-    planes of the embedding (minor order (a, b, c)).
+    """match_ref: (3, P + 2·Wp, Cr) — dx-shifted copies of the match map,
+    VMEM-resident. k_ref: (L_pad, 9Cr) normalized reference patches
+    (resident). ph_ref: (3, L_pad + 2·W', s²C) — dr-shifted,
+    phase-concatenated planes of the embedding (minor order (a, b, c)).
     o_ref: (1, 1, (rows+2)·Wp, s²C) overlap-added strip (last li only)."""
     pi = pl.program_id(1)
+    li = pl.program_id(2)
+    tp = rows * wp
+    _csa_tile_step(
+        lambda dy, dx: match_ref[0, dx, pl.ds(pi * tp + dy * wp, tp), :],
+        k_ref,
+        lambda t, r: ph_ref[0, r, pl.ds(li * tl + t * wq, tl), :],
+        o_ref, acc_ref, m_ref, l_ref, scale=scale, n_l_tiles=n_l_tiles,
+        l_actual=l_actual, tl=tl, rows=rows, wp=wp, s=s, channels=channels)
+
+
+def _csa_windowed_kernel(m0_ref, m1_ref, m2_ref, k_ref, p0_ref, p1_ref,
+                         p2_ref, o_ref, acc_ref, m_ref, l_ref, *, scale,
+                         n_l_tiles, l_actual, tl, rows, wp, s, channels,
+                         cr, wq):
+    """Same math as _csa_full_kernel, but the match/phase planes arrive as
+    per-column-variant WINDOWS (element-granularity row starts pi·TP and
+    li·TL, window heights TP+2Wp / TL+2W') instead of VMEM-resident whole
+    maps — admits geometries whose resident planes blow VMEM (192-tile
+    SwinIR: ~72 MB of planes). In-window taps are static slices."""
+    m_refs = (m0_ref, m1_ref, m2_ref)
+    ph_refs = (p0_ref, p1_ref, p2_ref)
+    tp = rows * wp
+    _csa_tile_step(
+        lambda dy, dx: m_refs[dx][0, 0, dy * wp:dy * wp + tp, :],
+        k_ref,
+        lambda t, r: ph_refs[r][0, 0, t * wq:t * wq + tl, :],
+        o_ref, acc_ref, m_ref, l_ref, scale=scale, n_l_tiles=n_l_tiles,
+        l_actual=l_actual, tl=tl, rows=rows, wp=wp, s=s, channels=channels)
+
+
+def _csa_tile_step(get_q_slice, k_ref, get_v_slice, o_ref, acc_ref, m_ref,
+                   l_ref, *, scale, n_l_tiles, l_actual, tl, rows, wp, s,
+                   channels):
     li = pl.program_id(2)
     tp = rows * wp
     sc2 = s * s * channels
@@ -339,12 +372,11 @@ def _csa_full_kernel(match_ref, k_ref, ph_ref, o_ref, acc_ref, m_ref, l_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # ---- query tile from the resident shifted match maps (9 row-slices)
-    p0 = pi * tp
+    # ---- query tile from the shifted match maps (9 row-slices)
     q_parts = []
     for dy in range(3):
         for dx in range(3):
-            q_parts.append(match_ref[0, dx, pl.ds(p0 + dy * wp, tp), :])
+            q_parts.append(get_q_slice(dy, dx))
     q = jnp.concatenate(q_parts, axis=1)          # (TP, 9Cr)
 
     k = k_ref[0, pl.ds(li * tl, tl), :]
@@ -362,14 +394,13 @@ def _csa_full_kernel(match_ref, k_ref, ph_ref, o_ref, acc_ref, m_ref, l_ref,
         jnp.sum(p, axis=-1, keepdims=True), corr.shape)
     m_ref[...] = m_new
 
-    # ---- value tile from the resident shifted phase planes: the s²
-    # phases are pre-concatenated per column shift, so one (TL, s²C) load
-    # covers a whole (t, r) tap plane — 9 loads total
-    l0 = li * tl
+    # ---- value tile from the shifted phase planes: the s² phases are
+    # pre-concatenated per column shift, so one (TL, s²C) load covers a
+    # whole (t, r) tap plane — 9 loads total
     v_parts = []
     for t in range(3):
         for r in range(3):
-            v_parts.append(ph_ref[0, r, pl.ds(l0 + t * wq, tl), :])
+            v_parts.append(get_v_slice(t, r))
     v = jnp.concatenate(v_parts, axis=1)          # (TL, (3s)²C) plane-major
     pv = jax.lax.dot_general(p.astype(v.dtype), v,
                              (((1,), (0,)), ((), ())),
@@ -415,7 +446,8 @@ def aligned_channels(s: int, channels: int) -> int:
 
 def csa_fused(match, k, embed, scale: float, hp: int, wp: int, s: int,
               channels: int, out_dtype=jnp.float32, rows: int | None = None,
-              tl: int = 1024, interpret: bool = False):
+              tl: int = 1024, interpret: bool = False,
+              windowed: bool = False):
     """Whole CSA middle — patch banks, attention, softmax, reconstruction
     and overlap-add — in one kernel.
 
@@ -429,6 +461,10 @@ def csa_fused(match, k, embed, scale: float, hp: int, wp: int, s: int,
     zero lanes ride the PV matmul and overlap-add unchanged and are
     sliced off at the end — Mosaic only lowers the epilogue's odd-row-
     offset pads (and the s²C-stride lane slices) for aligned minor dims.
+
+    ``windowed``: source the match/phase planes as element-offset windows
+    per grid instance instead of VMEM-resident whole maps (see
+    _csa_windowed_kernel) — for geometries whose planes don't fit VMEM.
     """
     b = match.shape[0]
     cr = match.shape[-1]
@@ -465,18 +501,41 @@ def csa_fused(match, k, embed, scale: float, hp: int, wp: int, s: int,
     ph = ph.reshape(b, 3, l_actual, s * s * channels)
     ph = jnp.pad(ph, ((0, 0), (0, 0), (wq, wq + l_pad - l_actual), (0, 0)))
 
-    strips = pl.pallas_call(
-        functools.partial(_csa_full_kernel, scale=scale, n_l_tiles=n_l,
-                          l_actual=l_actual, tl=tl, rows=rows, wp=wp, s=s,
-                          channels=channels, cr=cr, wq=wq),
-        grid=(b, n_t, n_l),
-        in_specs=[
+    k_spec = pl.BlockSpec((1, l_pad, 9 * cr), lambda bi, pi, li: (bi, 0, 0))
+    if windowed:
+        from jax._src.pallas.core import Element
+        kern = functools.partial(_csa_windowed_kernel, scale=scale,
+                                 n_l_tiles=n_l, l_actual=l_actual, tl=tl,
+                                 rows=rows, wp=wp, s=s, channels=channels,
+                                 cr=cr, wq=wq)
+        in_specs = [pl.BlockSpec(
+            (Element(1), Element(1), Element(tp + 2 * wp), Element(cr)),
+            (lambda bi, pi, li, dx=dx: (bi, dx, pi * tp, 0)))
+            for dx in range(3)]
+        in_specs.append(k_spec)
+        in_specs += [pl.BlockSpec(
+            (Element(1), Element(1), Element(tl + 2 * wq),
+             Element(s * s * channels)),
+            (lambda bi, pi, li, r=r: (bi, r, li * tl, 0)))
+            for r in range(3)]
+        operands = [m3] * 3 + [k_res] + [ph] * 3
+    else:
+        kern = functools.partial(_csa_full_kernel, scale=scale,
+                                 n_l_tiles=n_l, l_actual=l_actual, tl=tl,
+                                 rows=rows, wp=wp, s=s, channels=channels,
+                                 cr=cr, wq=wq)
+        in_specs = [
             pl.BlockSpec((1, 3, hp * wp + 2 * wp, cr),
                          lambda bi, pi, li: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, l_pad, 9 * cr), lambda bi, pi, li: (bi, 0, 0)),
+            k_spec,
             pl.BlockSpec((1, 3, l_pad + 2 * wq, s * s * channels),
                          lambda bi, pi, li: (bi, 0, 0, 0)),
-        ],
+        ]
+        operands = [m3, k_res, ph]
+    strips = pl.pallas_call(
+        kern,
+        grid=(b, n_t, n_l),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, (rows + 2) * wp, sc2),
                                lambda bi, pi, li: (bi, pi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n_t, (rows + 2) * wp, sc2),
@@ -490,9 +549,11 @@ def csa_fused(match, k, embed, scale: float, hp: int, wp: int, s: int,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * hp * wp * l_actual * (9 * cr + dv),
             bytes_accessed=b * (hp * wp * (cr + sc2) * 2
-                                + l_actual * (9 * cr + channels) * 2),
+                                + l_actual * (9 * cr + channels) * 2
+                                + (n_t * l_actual * channels * 9 * 2
+                                   if windowed else 0)),
             transcendentals=b * hp * wp * l_actual),
         interpret=interpret,
-    )(m3, k_res, ph)
+    )(*operands)
     out = _combine_strips(strips, rows, hp, wp, s, channels)
     return out[..., :c_out] if channels != c_out else out

@@ -231,3 +231,32 @@ def test_csa_fused_full_kernel_parity(rng):
     np.testing.assert_allclose(np.asarray(csa3.apply(p3, x3, True)),
                                np.asarray(csa3.apply(p3, x3)),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_csa_fused_windowed_matches_resident(rng):
+    """csa_fused(windowed=True) — element-offset plane windows instead of
+    VMEM-resident maps (the big-geometry admission path) — must be
+    bit-equal to the resident kernel on synthesized middle tensors,
+    across multiple (rows, tl) tilings and both scales."""
+    from ciaosr_tpu.ops.pallas.csa_attention import csa_fused
+
+    for s, hp, wp, c, cr in [(2, 16, 32, 32, 16), (3, 18, 24, 8, 4)]:
+        lq = (hp // s) * (wp // s)
+        match = jnp.asarray(
+            rng.standard_normal((2, hp, wp, cr), dtype=np.float32))
+        k = jnp.asarray(
+            rng.standard_normal((2, lq, 9 * cr), dtype=np.float32))
+        embed = jnp.asarray(
+            rng.standard_normal((2, hp, wp, c), dtype=np.float32))
+        res = np.asarray(csa_fused(match, k, embed, 3.0, hp, wp, s, c,
+                                   interpret=True, windowed=False))
+        # same tiling → identical flash accumulation → bit-equal
+        win = np.asarray(csa_fused(match, k, embed, 3.0, hp, wp, s, c,
+                                   interpret=True, windowed=True))
+        np.testing.assert_array_equal(win, res)
+        # a different (rows, tl) tiling reorders the online-softmax
+        # accumulation — equal to f32 rounding only
+        win2 = np.asarray(csa_fused(match, k, embed, 3.0, hp, wp, s, c,
+                                    interpret=True, windowed=True,
+                                    rows=2, tl=256))
+        np.testing.assert_allclose(win2, res, atol=1e-5, rtol=1e-5)

@@ -221,3 +221,36 @@ def test_cli_gan_train_and_resume(smoke_dir):
     out = _run(["tools/train.py", str(cfg), "--work-dir", wd2,
                 "--resume-from", wd, "--total-iters", "6", "--seed", "2"])
     assert f"[resume] from {wd} @ iteration 5" in out
+
+
+def test_cli_inference(smoke_dir, tmp_path):
+    """tools/inference.py: single file (integer scale, tiled), non-integer
+    scale (implicit-coordinate path), and directory mode."""
+    import cv2
+    lq = (np.random.default_rng(3).random((20, 24, 3)) * 255).astype(
+        np.uint8)
+    src = tmp_path / "lq.png"
+    cv2.imwrite(str(src), lq)
+
+    out = tmp_path / "sr.png"
+    _run(["tools/inference.py", smoke_dir["cfg"], "random",
+          "--img", str(src), "--out", str(out), "--scale", "2",
+          "--tile", "16", "--tile-overlap", "4"])
+    sr = cv2.imread(str(out))
+    assert sr.shape == (40, 48, 3)
+
+    # non-integer scale → implicit-coordinate predict path
+    _run(["tools/inference.py", smoke_dir["cfg"], "random",
+          "--img", str(src), "--out", str(out), "--scale", "1.5"])
+    sr = cv2.imread(str(out))
+    assert sr.shape == (30, 36, 3)
+
+    # directory mode with default output names
+    ind = tmp_path / "batch"
+    ind.mkdir()
+    cv2.imwrite(str(ind / "a.png"), lq)
+    outd = tmp_path / "srs"
+    _run(["tools/inference.py", smoke_dir["cfg"], "random",
+          "--img", str(ind), "--out", str(outd), "--scale", "2",
+          "--tile", "0"])
+    assert cv2.imread(str(outd / "a.png")).shape == (40, 48, 3)

@@ -278,7 +278,7 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
         if not halo_ok:
             raise ValueError("halo assembly needs W % 8 == 0 and H > 1")
         return _grid_decode_halo(u_map, csa_map, params, s, shifts,
-                                 n_hidden, cell_val, softmax_scale, rows,
+                                 n_hidden, cell_val, softmax_scale,
                                  interpret, hoist_kout)
 
     u9 = _shift_planes(u_map.astype(jnp.bfloat16))
@@ -728,8 +728,7 @@ def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, q_ref,
 
 
 def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
-                      cell_val, softmax_scale, rows, interpret,
-                      hoist_kout):
+                      cell_val, softmax_scale, interpret, hoist_kout):
     """grid_decode_fused with halo-fetched shift planes (see the section
     comment above): ~3× less glue HBM traffic than the stacked path —
     three column variants of one merged plane replace four 9-plane
@@ -816,8 +815,10 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
 
     # single-DMA shifts remove the stacked path's small-block pressure;
     # taller blocks win here (22.4 vs 22.7 ms at 192² — fewer grid steps,
-    # same exact reads), so prefer 8 rows over the caller's stacked-path
-    # tuning; wide-DK models halve the block height to stay inside VMEM
+    # same exact reads), so the caller's stacked-path `rows` tuning is
+    # ignored; wide-DK models instead need SHORT blocks — at 2944 lanes,
+    # rows=4 starves VMEM double-buffering (halo ≈ stacked; rows=2:
+    # 53.0 → 46.0 ms; rows=1 regresses to 48.0, DMA-count-bound)
     rmax = 8 if lanes <= 1536 else 2
     rows = max(r for r in range(1, min(rmax, h) + 1) if h % r == 0)
     n_blocks = h // rows

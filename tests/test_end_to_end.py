@@ -209,3 +209,31 @@ def test_sharded_tiled_eval_matches_single_device(rng):
                               mesh=make_mesh())
     assert sharded.shape == (40, 48, 3)
     np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_sharded_tiled_eval_pallas_path(rng):
+    """--shard-tiles composed with use_pallas (the real-pod eval
+    configuration): the fused grid-decode kernel must run under the
+    sharded tile batch and match the single-device XLA path."""
+    import jax
+    from ciaosr_tpu.models.restorers import CiaoSRRestorer
+    from ciaosr_tpu.parallel.mesh import make_mesh
+
+    gen = dict(
+        type="LocalImplicitSREDSR",
+        encoder=dict(type="EDSR", in_channels=3, mid_channels=8,
+                     num_blocks=1),
+        imnet_q=dict(type="MLPRefiner", out_dim=3, hidden_list=[16]),
+        imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]),
+        imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[16]))
+    tcfg = dict(metrics=["PSNR"], scale=2, tile=8, tile_overlap=4,
+                tile_batch=8)
+    r_pallas = CiaoSRRestorer(generator=dict(gen, use_pallas=True),
+                              test_cfg=tcfg)
+    r_xla = CiaoSRRestorer(generator=gen, test_cfg=tcfg)
+    params = r_xla.init_params(jax.random.PRNGKey(0))
+    lq = rng.random((20, 24, 3), dtype=np.float32)
+    ref = r_xla.predict_tiled(params, lq, 2, tile=8, tile_overlap=4)
+    sharded = r_pallas.predict_tiled(params, lq, 2, tile=8, tile_overlap=4,
+                                     mesh=make_mesh())
+    np.testing.assert_allclose(sharded, ref, atol=3e-3)

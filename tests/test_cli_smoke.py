@@ -239,6 +239,15 @@ def test_cli_inference(smoke_dir, tmp_path):
     sr = cv2.imread(str(out))
     assert sr.shape == (40, 48, 3)
 
+    # --pallas routes the tiled decode through the fused kernel
+    # (interpret mode on CPU) and must agree with the XLA path
+    outp = tmp_path / "sr_pallas.png"
+    _run(["tools/inference.py", smoke_dir["cfg"], "random",
+          "--img", str(src), "--out", str(outp), "--scale", "2",
+          "--tile", "16", "--tile-overlap", "4", "--pallas"])
+    srp = cv2.imread(str(outp))
+    assert np.abs(srp.astype(int) - sr.astype(int)).max() <= 1
+
     # non-integer scale → implicit-coordinate predict path
     _run(["tools/inference.py", smoke_dir["cfg"], "random",
           "--img", str(src), "--out", str(out), "--scale", "1.5"])

@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--tile-overlap", type=int, default=32)
     p.add_argument("--shard-tiles", action="store_true",
                    help="shard the tile batch over local chips")
+    p.add_argument("--pallas", action="store_true",
+                   help="route integer-scale grid decodes through the "
+                        "fused Pallas kernels (TPU)")
     return p.parse_args()
 
 
@@ -65,6 +68,8 @@ def main():
     from test import _load_orbax
 
     cfg = Config.fromfile(args.config)
+    if args.pallas:
+        cfg.model["generator"]["use_pallas"] = True
     model = build_model(cfg.model, test_cfg=cfg.get("test_cfg"))
 
     ckpt = args.checkpoint

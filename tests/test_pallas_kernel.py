@@ -260,3 +260,39 @@ def test_csa_fused_windowed_matches_resident(rng):
                                     interpret=True, windowed=True,
                                     rows=2, tl=256))
         np.testing.assert_allclose(win2, res, atol=1e-5, rtol=1e-5)
+
+
+def test_halo_dispatch_gate(rng, monkeypatch):
+    """grid_decode_fused auto-selects the halo assembly exactly when the
+    geometry qualifies (W % 8 == 0, H > 1) — for both the hoisted and the
+    wide-DK branch — and falls back to the stacked path otherwise."""
+    import ciaosr_tpu.ops.pallas.decoder_kernel as dk
+
+    calls = []
+    monkeypatch.setattr(dk, "_grid_decode_halo",
+                        lambda *a, **k: calls.append("halo") or 0)
+
+    def fake_params(hidden=32, dk_=144, dv_=160):
+        mk = lambda i, o: {"kernel": jnp.zeros((i, o)),
+                           "bias": jnp.zeros((o,))}
+        return {name: {"layers_0": mk(ind, hidden),
+                       "layers_1": mk(hidden, hidden),
+                       "out": mk(hidden, outd)}
+                for name, ind, outd in [("imnet_k", dk_ + 4, dk_),
+                                        ("imnet_v", dv_ + 4, dv_),
+                                        ("imnet_q", dv_, 3)]}
+
+    u = jnp.zeros((1, 8, 16, 144))
+    c = jnp.zeros((1, 8, 16, 16))
+    p = fake_params()
+    dk.grid_decode_fused(u, c, p, 2, 2, 1.0, interpret=True)
+    assert calls == ["halo"]
+    # wide-DK (hoist off) also routes halo
+    dk.grid_decode_fused(u, c, p, 2, 2, 1.0, interpret=True,
+                         hoist_kout=False)
+    assert calls == ["halo", "halo"]
+    # W not 8-aligned → stacked (the real kernel path; just check no halo)
+    u2 = jnp.zeros((1, 8, 10, 144))
+    c2 = jnp.zeros((1, 8, 10, 16))
+    out = dk.grid_decode_fused(u2, c2, p, 2, 2, 1.0, interpret=True)
+    assert calls == ["halo", "halo"] and out.shape == (4, 8, 10, 3)

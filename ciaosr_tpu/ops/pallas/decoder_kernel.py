@@ -9,10 +9,16 @@ planes, one HBM write of RGB. All MLP weights live in VMEM for the whole
 kernel; the XLA fallback path writes ~6 (N,576..640) intermediates to HBM
 per shift.
 
-Shift-plane selection: the 9 edge-clamped shifted copies of the feature
-maps are stacked outside; each of the S shift inputs is the SAME stacked
-array passed with an index_map that picks plane sel[p, s] via scalar
-prefetch — no gathers, no halo DMA.
+Shift-plane selection comes in two assemblies (grid_decode_fused
+``assembly``):
+* "stacked" (original): 9 edge-clamped shifted copies of every plane
+  family are materialized in HBM; each of the S shift inputs is the SAME
+  stacked array passed with an index_map that picks plane sel[p, s] via
+  scalar prefetch.
+* "halo" (round 2, default where W % 8 == 0): the families are merged
+  into ONE lane-aligned map with three column variants, and the shifted
+  block is fetched directly with element-granularity row starts — see
+  the section comment above _grid_decode_halo.
 
 Traffic/FLOP structure (what is hoisted and what is deduplicated):
 

@@ -197,7 +197,7 @@ class CrossScaleAttention(nn.Module):
                         out_dtype=self.dtype or jnp.float32,
                         rows=rsel, interpret=interp, windowed=windowed,
                         tl=tl_sel if windowed else 1024)
-                else:  # pragma: no cover - odd geometry fallback
+                else:  # odd geometry: streaming-bank fallback
                     x_nb, raw = x_nb_raw()
                     k_maps = csa_attention(
                         x_nb, w_normed, raw, self.softmax_scale,

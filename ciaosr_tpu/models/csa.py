@@ -52,6 +52,56 @@ def _overlap_add(k_maps: jnp.ndarray, hp: int, wp: int, s: int,
     return out
 
 
+def fused_admission(hp: int, wp: int, s: int, channels: int, cr: int,
+                    es: int) -> tuple[str, int | None, int]:
+    """Which CSA kernel a geometry gets, with its (rows, tl) tiling.
+
+    Returns ("resident" | "windowed" | "streaming", rows, tl). The fused
+    kernel needs 8-aligned widths (wp, wp/s — its strip epilogue and
+    row slicing); admission is a VMEM estimate: the resident kernel
+    keeps the whole match/phase planes on-chip, the windowed variant
+    streams them as per-instance element-offset windows so only the
+    accumulator/tiles bound it (csa_attention.py). ``es`` is the compute
+    element size (2 for bf16, 4 for f32) — resident operands inherit it.
+    """
+    from ciaosr_tpu.ops.pallas.csa_attention import aligned_channels
+
+    budget = 85 * 1024 * 1024
+    rows = [r for r in range(1, 9) if hp % r == 0 and (r * wp) % 8 == 0]
+    if not (rows and hp % s == 0 and wp % 8 == 0 and (wp // s) % 8 == 0):
+        return "streaming", None, 1024
+    c_eff = aligned_channels(s, channels)
+    rsel = min(rows, key=lambda r: abs(r * wp - 1024))
+    tp = rsel * wp
+    wq = wp // s
+    l_act = (hp // s) * wq
+    tl_eff = min(1024, -(-l_act // 128) * 128)
+    l_pad = -(-l_act // tl_eff) * tl_eff
+    dv = 9 * s * s * c_eff
+    vmem = (tp * dv * 4             # f32 accumulator
+            + 2 * tl_eff * dv * es  # value tile (+concat)
+            + 3 * (l_pad + 2 * wq) * s * s * c_eff * es
+            + 3 * (hp * wp + 2 * wp) * max(cr, 128) * es
+            + l_pad * max(9 * cr, 128) * es
+            + tp * tl_eff * 4)      # logits tile
+    if vmem < budget:
+        return "resident", rsel, 1024
+    for tlw in (tl_eff, 512, 256):
+        if not 256 <= tlw <= tl_eff:
+            continue
+        for rw in sorted(rows, key=lambda r: abs(r * wp - 1024)):
+            tpw = rw * wp
+            vmem_w = (tpw * dv * 4
+                      + 2 * tlw * dv * es
+                      + 3 * (tlw + 2 * wq) * s * s * c_eff * es * 2
+                      + 3 * (tpw + 2 * wp) * max(cr, 128) * es * 2
+                      + l_pad * max(9 * cr, 128) * es
+                      + 2 * tpw * tlw * 4)
+            if vmem_w < budget:
+                return "windowed", rw, tlw
+    return "streaming", None, 1024
+
+
 class CrossScaleAttention(nn.Module):
     """Scale-aware non-local attention over s·3×3 ↔ 3×3 patch pairs."""
 
@@ -120,72 +170,16 @@ class CrossScaleAttention(nn.Module):
             if flash and self.average:
                 import jax
                 from ciaosr_tpu.ops.pallas.csa_attention import (
-                    aligned_channels, csa_attention, csa_fused)
+                    csa_attention, csa_fused)
                 interp = jax.default_backend() == "cpu"
-                rows = [r for r in range(1, 9)
-                        if hp % r == 0 and (r * wp) % 8 == 0]
-                # the strip epilogue pads at odd row offsets, which Mosaic
-                # only lowers for lane-aligned minor dims — csa_fused
-                # zero-pads channels up to aligned_channels (C=180/s=2 →
-                # 192). Admission is bounded by a VMEM estimate: the f32
-                # accumulator and the value tile grow with 9·s²·C' and
-                # must fit beside the resident planes; when the RESIDENT
-                # planes are what blows the budget (192-tile SwinIR), the
-                # windowed variant streams them as element-offset windows
-                # instead, and only truly odd geometries fall back to the
-                # streaming-bank kernel.
-                fits = False
-                windowed = False
-                if rows and hp % s == 0 and wp % 8 == 0 \
-                        and (wp // s) % 8 == 0:
-                    c_eff = aligned_channels(s, self.channels)
-                    rsel = min(rows, key=lambda r: abs(r * wp - 1024))
-                    tp = rsel * wp
-                    wq = wp // s
-                    l_act = (hp // s) * wq
-                    tl_eff = min(1024, -(-l_act // 128) * 128)
-                    l_pad = -(-l_act // tl_eff) * tl_eff
-                    dv = 9 * s * s * c_eff
-                    # resident operands inherit the compute dtype — an
-                    # f32 run doubles them and blows the 100 MB scoped
-                    # VMEM at the 192-tile geometry (measured), so the
-                    # estimate must use the real element size
-                    es = 2 if self.dtype == jnp.bfloat16 else 4
-                    vmem = (tp * dv * 4             # f32 accumulator
-                            + 2 * tl_eff * dv * es  # value tile (+concat)
-                            + 3 * (l_pad + 2 * wq) * s * s * c_eff * es
-                            + 3 * (hp * wp + 2 * wp) * max(cr, 128) * es
-                            + l_pad * max(9 * cr, 128) * es
-                            + tp * tl_eff * 4)      # logits tile
-                    fits = vmem < 85 * 1024 * 1024
-                    if not fits:
-                        # windowed variant: the match/phase planes arrive
-                        # as per-instance element-offset windows instead
-                        # of resident maps (csa_attention.py), so only the
-                        # accumulator/tiles bound admission — search the
-                        # (rows, tl) grid for a fit
-                        for rw, tlw in [(r_, t_)
-                                        for t_ in (tl_eff, 512, 256)
-                                        for r_ in sorted(
-                                            rows,
-                                            key=lambda r: abs(r * wp
-                                                              - 1024))
-                                        if t_ >= 256 and t_ <= tl_eff]:
-                            tpw = rw * wp
-                            vmem_w = (
-                                tpw * dv * 4
-                                + 2 * tlw * dv * es
-                                + 3 * (tlw + 2 * wq) * s * s * c_eff
-                                * es * 2
-                                + 3 * (tpw + 2 * wp) * max(cr, 128)
-                                * es * 2
-                                + l_pad * max(9 * cr, 128) * es
-                                + 2 * tpw * tlw * 4)
-                            if vmem_w < 85 * 1024 * 1024:
-                                fits = windowed = True
-                                rsel, tl_sel = rw, tlw
-                                break
-                if fits:
+                # resident operands inherit the compute dtype — an f32
+                # run doubles them and blows the 100 MB scoped VMEM at
+                # the 192-tile geometry (measured), so admission uses the
+                # real element size
+                es = 2 if self.dtype == jnp.bfloat16 else 4
+                mode, rsel, tl_sel = fused_admission(
+                    hp, wp, s, self.channels, cr, es)
+                if mode != "streaming":
                     # whole CSA middle in one kernel: q/v banks assembled
                     # in VMEM from resident match/phase planes (or
                     # per-instance windows of them), softmax online,
@@ -195,8 +189,8 @@ class CrossScaleAttention(nn.Module):
                         match, w_normed, embed, self.softmax_scale, hp, wp,
                         s, self.channels,
                         out_dtype=self.dtype or jnp.float32,
-                        rows=rsel, interpret=interp, windowed=windowed,
-                        tl=tl_sel if windowed else 1024)
+                        rows=rsel, interpret=interp,
+                        windowed=mode == "windowed", tl=tl_sel)
                 else:  # odd geometry: streaming-bank fallback
                     x_nb, raw = x_nb_raw()
                     k_maps = csa_attention(

@@ -296,3 +296,24 @@ def test_halo_dispatch_gate(rng, monkeypatch):
     c2 = jnp.zeros((1, 8, 10, 16))
     out = dk.grid_decode_fused(u2, c2, p, 2, 2, 1.0, interpret=True)
     assert calls == ["halo", "halo"] and out.shape == (4, 8, 10, 3)
+
+
+def test_csa_fused_admission_decisions():
+    """Pin the CSA kernel-choice gate at the production geometries:
+    RDN 192-tile (s=2, C=64) fits resident; 192-tile SwinIR (C=180) and
+    the multi-scale s=3/s=4 cases need the windowed variant; odd widths
+    stream."""
+    from ciaosr_tpu.models.csa import fused_admission
+
+    mode, rows, tl = fused_admission(192, 192, 2, 64, 32, es=2)
+    assert mode == "resident"
+    mode, rows, tl = fused_admission(192, 192, 2, 180, 90, es=2)
+    assert mode == "windowed" and rows is not None and tl >= 256
+    mode, _, _ = fused_admission(192, 192, 3, 64, 32, es=2)
+    assert mode == "windowed"
+    # 96-tile SwinIR fit resident already (round-2 measurement point)
+    mode, _, _ = fused_admission(96, 96, 2, 180, 90, es=2)
+    assert mode == "resident"
+    # width not 8-aligned → streaming
+    mode, _, _ = fused_admission(12, 12, 2, 8, 4, es=4)
+    assert mode == "streaming"

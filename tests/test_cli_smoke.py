@@ -263,3 +263,18 @@ def test_cli_inference(smoke_dir, tmp_path):
           "--img", str(ind), "--out", str(outd), "--scale", "2",
           "--tile", "0"])
     assert cv2.imread(str(outd / "a.png")).shape == (40, 48, 3)
+
+
+def test_cli_train_bf16(smoke_dir, tmp_path):
+    """--bf16 (the train_pl.py intent): the trainer runs with bf16
+    compute / f32 params and checkpoints land."""
+    wd = tmp_path / "wd_bf16"
+    cfg_text = CONFIG_TMPL.format(gt=str(smoke_dir["root"] / "gt"),
+                                  wd=str(wd))
+    cfg = tmp_path / "bf16_cfg.py"
+    cfg.write_text(cfg_text)
+    out = _run(["tools/train.py", str(cfg), "--bf16", "--seed", "1"])
+    assert "loss" in out
+    import os as _os
+    steps = [d for d in _os.listdir(wd / "checkpoints") if d.isdigit()]
+    assert steps, "no checkpoint written under --bf16"

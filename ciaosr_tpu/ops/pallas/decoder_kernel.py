@@ -507,20 +507,90 @@ def a128(x):
     return -(-x // 128) * 128
 
 
-def _pad_lanes(x, to):
-    short = to - x.shape[-1]
-    if short == 0:
-        return x
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, short)]
-    return jnp.pad(x, pad)
+def _f3p_kernel(u_ref, *rest, dc, hk_p, hv_p, dc_p, dk_pad):
+    """One output row of the merged column-variant map: first-layer
+    feature matmuls + lane-pad + segment concat + the three edge-clamped
+    column shifts, fused — the XLA construction materialized each step
+    (pad → concat → stack → row-pad ≈ 4 copies of ~190 MB at 192²)."""
+    if dc:
+        c_ref, wk_ref, wvu_ref, wvc_ref, o_ref = rest
+    else:
+        wk_ref, wvu_ref, o_ref = rest
+
+    u = u_ref[0, 0].astype(jnp.bfloat16)              # (W, dk)
+    w_ = u.shape[0]
+
+    def lane_pad(x, to):
+        short = to - x.shape[-1]
+        if short == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((w_, short), jnp.bfloat16)], axis=-1)
+
+    gk = _mm(u, wk_ref[...])                          # (W, hidden_k) f32
+    gv = _mm(u, wvu_ref[...])
+    segs = [lane_pad(gk.astype(jnp.bfloat16), hk_p)]
+    if dc:
+        c = c_ref[0, 0].astype(jnp.bfloat16)          # (W, dc)
+        gv = gv + _mm(c, wvc_ref[...])
+        segs.append(lane_pad(gv.astype(jnp.bfloat16), hv_p))
+        segs.append(lane_pad(c, dc_p))
+    else:
+        segs.append(lane_pad(gv.astype(jnp.bfloat16), hv_p))
+    segs.append(lane_pad(u, dk_pad))
+    m = jnp.concatenate(segs, axis=-1)                # (W, lanes)
+    o_ref[0, 0, 0] = jnp.concatenate([m[:1], m[:-1]], axis=0)
+    o_ref[0, 1, 0] = m
+    o_ref[0, 2, 0] = jnp.concatenate([m[1:], m[-1:]], axis=0)
 
 
-def _edge_col_shifted3(x):
-    """(B,H,W,C) → (B,3,H,W,C): edge-clamped column shifts; variant
-    cx = dx+1 holds x[:, :, clamp(j+dx)]."""
-    minus = jnp.concatenate([x[:, :, :1], x[:, :, :-1]], axis=2)
-    plus = jnp.concatenate([x[:, :, 1:], x[:, :, -1:]], axis=2)
-    return jnp.stack([minus, x, plus], axis=1)
+def _build_f3p(u_map, csa_map, wk0, wvu, wvc, interpret):
+    """Fused build of the halo path's merged map (B,3,H+2,W,lanes):
+    row r of the output holds image row clamp(r-1) — the edge clamp is
+    the INPUT index map (block row size 1, so block indices address
+    element rows and no Element dims or post-pad copy are needed)."""
+    bsz, h, w, dk = u_map.shape
+    dc = 0 if csa_map is None else csa_map.shape[-1]
+    hk_p, hv_p = a128(wk0.shape[-1]), a128(wvu.shape[-1])
+    dc_p = a128(dc) if dc else 0
+    dk_pad = a128(dk)
+    lanes = hk_p + hv_p + dc_p + dk_pad
+
+    in_specs = [pl.BlockSpec(
+        (1, 1, w, dk),
+        lambda b, r: (b, jnp.clip(r - 1, 0, h - 1), 0, 0))]
+    ops = [u_map]
+    if dc:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, w, dc),
+            lambda b, r: (b, jnp.clip(r - 1, 0, h - 1), 0, 0)))
+        ops.append(csa_map)
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 if dc else 2)
+    ops.append(wk0.astype(jnp.bfloat16))
+    ops.append(wvu.astype(jnp.bfloat16))
+    if dc:
+        ops.append(wvc.astype(jnp.bfloat16))
+
+    return pl.pallas_call(
+        functools.partial(_f3p_kernel, dc=dc, hk_p=hk_p, hv_p=hv_p,
+                          dc_p=dc_p, dk_pad=dk_pad),
+        grid=(bsz, h + 2),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 3, 1, w, lanes),
+                               lambda b, r: (b, 0, r, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, 3, h + 2, w, lanes),
+                                       jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * (h + 2) * w * (dk * (hk_p + hv_p)
+                                           + dc * hv_p),
+            bytes_accessed=bsz * (h + 2) * w * (
+                (dk + dc) * u_map.dtype.itemsize + 3 * lanes * 2),
+            transcendentals=0),
+        interpret=interpret,
+    )(*ops)
 
 
 def _phase_tables(s, h, w, shifts):
@@ -746,37 +816,25 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
     dv = dk + dc
     n_shift = len(shifts)
 
-    # hoisted first-layer feature matmuls (same as the stacked path)
-    wk0 = params["imnet_k"]["layers_0"]["kernel"][:dk].astype(jnp.bfloat16)
-    wv0 = params["imnet_v"]["layers_0"]["kernel"][:dv].astype(jnp.bfloat16)
-    u_flat = u_map.astype(jnp.bfloat16).reshape(-1, dk)
-    g_k = _mm(u_flat, wk0)
-    g_v = _mm(u_flat, wv0[:dk])
-    if dc:
-        g_v = g_v + _mm(csa_map.astype(jnp.bfloat16).reshape(-1, dc),
-                        wv0[dk:])
-    hidden_k, hidden_v = g_k.shape[-1], g_v.shape[-1]
-
+    # merged map, fused build: first-layer feature matmuls + lane-pad +
+    # segment concat [g_k | g_v | CSA | u] + 3 edge-clamped column
+    # variants + the edge-clamp rows, all in one kernel pass (the XLA
+    # construction materialized ~4 copies of the ~190 MB map); row r+1
+    # of f3p holds image row r, rows 0 / H+1 are the baked edge clamp —
+    # so a window at element row start i·rows + (dy+1) IS the
+    # (dy,dx)-shifted block. Every segment slice start is lane-aligned
+    # and every in-kernel slice reads its TRUE width (no weight padding
+    # anywhere); the u segment is zero-padded to 128 lanes only because
+    # Mosaic block lane dims must be 128-divisible
+    wk0 = params["imnet_k"]["layers_0"]["kernel"][:dk]
+    wv0 = params["imnet_v"]["layers_0"]["kernel"][:dv]
+    hidden_k, hidden_v = wk0.shape[-1], wv0.shape[-1]
     hk_p, hv_p = a128(hidden_k), a128(hidden_v)
     dc_p = a128(dc) if dc else 0
     o_u = hk_p + hv_p + dc_p
     lanes = o_u + a128(dk)
-    # segment order [g_k | g_v | CSA | u]: every slice start is
-    # lane-aligned, every in-kernel slice reads its TRUE width (no weight
-    # padding anywhere); the u segment is zero-padded to 128 lanes only
-    # because Mosaic block lane dims must be 128-divisible
-    segs = [_pad_lanes(
-        g_k.reshape(bsz, h, w, hidden_k).astype(jnp.bfloat16), hk_p),
-        _pad_lanes(
-        g_v.reshape(bsz, h, w, hidden_v).astype(jnp.bfloat16), hv_p)]
-    if dc:
-        segs.append(_pad_lanes(csa_map.astype(jnp.bfloat16), dc_p))
-    segs.append(_pad_lanes(u_map.astype(jnp.bfloat16), a128(dk)))
-    # column variants + one edge row top/bottom: row r+1 of f3p holds
-    # image row r, rows 0 / H+1 are the baked edge clamp — so a window
-    # at element row start i·rows + (dy+1) IS the (dy,dx)-shifted block
-    f3p = jnp.pad(_edge_col_shifted3(jnp.concatenate(segs, axis=-1)),
-                  ((0, 0), (0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    f3p = _build_f3p(u_map, csa_map, wk0, wv0[:dk],
+                     wv0[dk:] if dc else None, interpret)
 
     if hoist_kout:
         w_kout_t = params["imnet_k"]["out"]["kernel"].T

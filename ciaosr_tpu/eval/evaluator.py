@@ -70,12 +70,15 @@ def evaluate_dataset(restorer, params, dataset, save_path: str | None = None,
         # cluster — the reference's gpu_collect analogue,
         # tools/test.py:138-146)
         from jax.experimental import multihost_utils
-        keys = sorted({k for r in per_image for k in r})
-        if not keys:  # a process with zero items can't name the metrics
-            raise ValueError(
-                f"process {pid} drew no eval items (dataset of "
-                f"{len(dataset)} over {nproc} processes)")
-        cap = -(-len(dataset) // nproc)
+        # Key names must be identical on every process (the gathered array
+        # has one column per key), and a process may have drawn ZERO items
+        # when nproc > len(dataset) — so derive them statically from the
+        # restorer's metric config rather than from observed records.
+        test_cfg = getattr(restorer, "test_cfg", None) or {}
+        metric_names = list(test_cfg.get("metrics", ["PSNR"])
+                            if hasattr(test_cfg, "get") else ["PSNR"])
+        keys = sorted({"idx", *metric_names})
+        cap = max(1, -(-len(dataset) // nproc))
         arr = np.full((cap, len(keys)), np.nan, np.float64)
         for i, r in enumerate(per_image):
             for j, k in enumerate(keys):
@@ -87,8 +90,10 @@ def evaluate_dataset(restorer, params, dataset, save_path: str | None = None,
                      if np.isfinite(row[idx_col])]
         per_image.sort(key=lambda r: r["idx"])
 
-    keys = [k for k in per_image[0] if k != "idx"] if per_image else []
-    summary = {k: float(np.mean([r[k] for r in per_image])) for k in keys}
+    keys = sorted({k for r in per_image for k in r} - {"idx"})
+    vals = {k: [r[k] for r in per_image
+                if k in r and not np.isnan(r[k])] for k in keys}
+    summary = {k: float(np.mean(v)) for k, v in vals.items() if v}
     summary["n_images"] = len(per_image)
     summary["elapsed_s"] = time.time() - t0
     return summary

@@ -45,6 +45,59 @@ def shift_offsets(local_size: int) -> list[tuple[int, int]]:
     return [(i, j) for i in range(-1, 2, step) for j in range(-1, 2, step)]
 
 
+def _grid_axis_tables(n: int, tn: int, p: int, local_size: int):
+    """Host-side per-phase index/rel tables for one axis of a dense grid
+    decode at rational scale tn/n = p/q (lowest terms, so q = n·p/tn).
+
+    Replicates the float32 arithmetic of the per-query gather path
+    bit-exactly (make_coord → shift → clip → nearest_index, i.e. the
+    traced ops of query_rgb / core.coords.make_coord / ops.sampling
+    .nearest_index), then slices the length-tn vectors into p phase views
+    of length tn/p = n/q. Exact emulation matters because rational scales
+    can put HR pixel centers on (or within a float32 ulp of) LR nearest-
+    neighbor ties, where an analytic table and the traced computation
+    would round differently (reference semantics: grid_sample nearest =
+    round-half-even of the unnormalized coord, ciaosr_net.py:176-183).
+
+    Returns {sign: (idx, rel)} per shift sign (plus 'q' → idx for the
+    unshifted query sample): idx lists of p int64 vectors (LR source
+    index per phase row, border-clamped), rel lists of p float64 vectors
+    ((coord_q − coord_k)·n, ciaosr_net.py:185-189).
+    """
+    import numpy as np
+
+    f32 = np.float32
+    i = np.arange(tn, dtype=np.float32)
+    # make_coord: -1 + (2 i + 1) / tn, each op in float32
+    c0 = f32(-1.0) + (f32(2.0) * i + f32(1.0)) / f32(tn)
+    # shift radius (query_rgb: rx = (1 − cell)/(n−1), cell = 2/tn)
+    cell0 = f32(2.0) / f32(tn)
+    r = (f32(1.0) - cell0) / f32(n - 1) if n > 1 else f32(0.0)
+    lo, hi = f32(-1 + 1e-6), f32(1 - 1e-6)
+
+    def near(c):
+        ix = ((c + f32(1.0)) * f32(n) - f32(1.0)) / f32(2.0)
+        return np.clip(np.round(ix).astype(np.int64), 0, n - 1)
+
+    if local_size == 2:
+        signs = (-1, 1)
+    elif local_size == 1:
+        signs = (0,)
+    else:
+        signs = (-1, 0, 1)
+
+    c0_64 = c0.astype(np.float64)
+    out = {"q": [near(c0)[a::p] for a in range(p)]}
+    for s in signs:
+        cc = c0 if s == 0 else (c0 + f32(s) * r) + f32(1e-6)
+        cc = np.clip(cc, lo, hi)   # coord_s clamp (ciaosr_net.py:173)
+        m = near(cc)
+        rel = (c0_64 - (-1.0 + (2.0 * m + 1.0) / n)) * n
+        out[s] = ([m[a::p] for a in range(p)],
+                  [rel[a::p] for a in range(p)])
+    return out
+
+
 class CiaoSRNet(nn.Module):
     """Encoder + implicit attention-in-attention decoder.
 
@@ -339,6 +392,129 @@ class CiaoSRNet(nn.Module):
         img = all_p.transpose(2, 3, 0, 4, 1, 5).reshape(b, s * h, s * w, 3)
         img = img + interpolate_bilinear(x.astype(jnp.float32),
                                          s * h, s * w)
+        return img
+
+    def query_rgb_grid_rational(self, feature: jnp.ndarray, x: jnp.ndarray,
+                                py: int, qy: int, px: int, qx: int,
+                                phase_group: int = 2) -> jnp.ndarray:
+        """Dense full-grid decode for RATIONAL scales py/qy × px/qx — the
+        arbitrary-scale extension of query_rgb_grid. Returns
+        (B, H·py/qy, W·px/qx, 3). Requires qy | H and qx | W (automatic
+        when the target size is H·py/qy ∈ ℤ with gcd(py,qy)=1).
+
+        The integer-scale phase argument generalizes: on a uniform HR grid
+        of size (py/qy)·H, every decoder quantity is periodic in the HR
+        pixel phase (i mod py, j mod px) — phase a covers HR rows
+        {a, a+py, ...}, which sample LR rows {qy·k + m_a} for a constant
+        base offset m_a (up to border clamps and float32 rounding at exact
+        nearest-neighbor ties, both captured per-row by the host tables of
+        _grid_axis_tables). So the per-query gathers of query_rgb become
+        py·px dense passes over stride-q row/column gathers of the feature
+        maps — one (nky, nkx) = (H/qy, W/qx) MXU-shaped pass per phase,
+        assembled by pixel shuffle. Reference semantics: arbitrary target
+        sizes via per-query decoding (ciaosr_net.py:226-248,
+        mmedited/models/restorers/ciaosr.py:240-243); the reference has no
+        dense path at any scale.
+        """
+        import numpy as np
+
+        b, h, w, c = feature.shape
+        if h % qy or w % qx:
+            raise ValueError(f"rational grid decode needs qy|H, qx|W; got "
+                             f"H={h} qy={qy}, W={w} qx={qx}")
+        th, tw = h * py // qy, w * px // qx
+        nky, nkx = h // qy, w // qx
+        cdt = self.dtype or feature.dtype
+        from ciaosr_tpu.ops.neighborhood import unfold_nhwc
+        from ciaosr_tpu.ops.sampling import interpolate_bilinear
+
+        u_map = unfold_nhwc(feature) if self.feat_unfold else feature
+        if self.non_local_attn:
+            v_map = jnp.concatenate(
+                [u_map, self.cs_attn(feature, flash=True)], axis=-1)
+        else:
+            v_map = u_map
+        u_map = u_map.astype(cdt)
+        v_map = v_map.astype(cdt)
+        dk = u_map.shape[-1]
+        dv = v_map.shape[-1]
+
+        # hoisted shift-equivariant first-layer feature matmuls (same
+        # trick as query_rgb_grid: strided gathers commute with K@W_feat)
+        wk0 = self.imnet_k.variables["params"]["layers_0"]["kernel"]
+        bk0 = self.imnet_k.variables["params"]["layers_0"]["bias"]
+        wv0 = self.imnet_v.variables["params"]["layers_0"]["kernel"]
+        bv0 = self.imnet_v.variables["params"]["layers_0"]["bias"]
+        g_k = jnp.einsum("bhwc,cd->bhwd", u_map, wk0[:dk].astype(cdt),
+                         preferred_element_type=cdt)
+        g_v = jnp.einsum("bhwc,cd->bhwd", v_map, wv0[:dv].astype(cdt),
+                         preferred_element_type=cdt)
+
+        y_tab = _grid_axis_tables(h, th, py, self.local_size)
+        x_tab = _grid_axis_tables(w, tw, px, self.local_size)
+        # cell·(H,W) as the gather path computes it (float32 2/target)
+        cell_y = float(np.float32(2.0) / np.float32(th)) * h
+        cell_x = float(np.float32(2.0) / np.float32(tw)) * w
+
+        def take2(t, my, mx):
+            return jnp.take(jnp.take(t, jnp.asarray(my), axis=1),
+                            jnp.asarray(mx), axis=2)
+
+        def rc_bias(w0, b0, d_feat, ry, rx_):
+            # first-layer contribution of [rel_y, rel_x, cell_y, cell_x]
+            ry_t = jnp.asarray(ry, jnp.float32)[:, None] * w0[d_feat][None]
+            rx_t = jnp.asarray(rx_, jnp.float32)[:, None] * w0[d_feat + 1][None]
+            const = cell_y * w0[d_feat + 2] + cell_x * w0[d_feat + 3] + b0
+            return (ry_t[:, None, :] + rx_t[None, :, :]
+                    + const[None, None, :]).astype(cdt)
+
+        shifts = shift_offsets(self.local_size)
+        n_shift = len(shifts)
+        phases = [(a, bb) for a in range(py) for bb in range(px)]
+
+        out_phases = []
+        for g0 in range(0, len(phases), phase_group):
+            group = phases[g0:g0 + phase_group]
+            query = jnp.stack([take2(u_map, y_tab["q"][a], x_tab["q"][bb])
+                               for a, bb in group])    # (Pg,B,nky,nkx,Dk)
+            logits = []
+            pred_vs = []
+            for vy, vx in shifts:
+                sy = int(np.sign(vy))
+                sx = int(np.sign(vx))
+                k_list, v_list, hk_list, hv_list = [], [], [], []
+                for a, bb in group:
+                    my = y_tab[sy][0][a]
+                    ry = y_tab[sy][1][a]
+                    mx = x_tab[sx][0][bb]
+                    rx_ = x_tab[sx][1][bb]
+                    k_list.append(take2(u_map, my, mx))
+                    v_list.append(take2(v_map, my, mx))
+                    hk_list.append(take2(g_k, my, mx)
+                                   + rc_bias(wk0, bk0, dk, ry, rx_))
+                    hv_list.append(take2(g_v, my, mx)
+                                   + rc_bias(wv0, bv0, dv, ry, rx_))
+                key = jnp.stack(k_list)                # (Pg,B,nky,nkx,Dk)
+                val = jnp.stack(v_list)
+                wk = self.imnet_k.tail(nn.relu(jnp.stack(hk_list)))
+                wv = self.imnet_v.tail(nn.relu(jnp.stack(hv_list)))
+                logit = jnp.einsum("pbhwc,pbhwc->pbhw", query, key * wk,
+                                   preferred_element_type=jnp.float32)
+                logits.append(logit)
+                pred_vs.append(val * wv)
+            attn = nn.softmax(
+                jnp.stack(logits, axis=-1) / self.softmax_scale, axis=-1)
+            outv = sum(attn[..., i:i + 1].astype(jnp.float32)
+                       * pred_vs[i].astype(jnp.float32)
+                       for i in range(n_shift))
+            rgb = self.imnet_q(outv.astype(cdt)).astype(jnp.float32)
+            out_phases.append(rgb)                     # (Pg,B,nky,nkx,3)
+
+        # pixel-shuffle assembly: out[py·k + a, px·m + bb] = phase(a,bb)[k,m]
+        all_p = jnp.concatenate(out_phases, axis=0)    # (py·px,B,nky,nkx,3)
+        all_p = all_p.reshape(py, px, b, nky, nkx, 3)
+        img = all_p.transpose(2, 3, 0, 4, 1, 5).reshape(b, th, tw, 3)
+        img = img + interpolate_bilinear(x.astype(jnp.float32), th, tw)
         return img
 
     def query_rgb_grid_pallas(self, feature: jnp.ndarray, x: jnp.ndarray,

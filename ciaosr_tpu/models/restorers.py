@@ -9,6 +9,7 @@ query chunks via lax.map (SURVEY.md §5.7).
 
 from __future__ import annotations
 
+from fractions import Fraction
 from typing import Any
 
 import numpy as np
@@ -24,6 +25,29 @@ from ciaosr_tpu.models.builder import build_generator
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# phase-count ceiling for dense rational-scale decoding: the phase loop
+# unrolls py·px·|shifts| branches into one XLA program, so pathological
+# ratios (e.g. 449/192) must fall back to the per-query gather path
+_MAX_GRID_PHASES = 128
+
+
+def as_scale_fraction(s) -> Fraction:
+    """Normalize a user-facing scale (int, float, str '7/3', Fraction) to
+    an exact Fraction. Floats are snapped to the nearest small rational
+    (denominator ≤ 64) when within float-literal distance, so a config's
+    ``scale=2.5`` or ``scale=7/3`` (a Python float!) round-trips to 5/2
+    and 7/3 instead of the exact binary expansion."""
+    if isinstance(s, Fraction):
+        return s
+    if isinstance(s, int):
+        return Fraction(s)
+    if isinstance(s, str):
+        return Fraction(s)
+    f = Fraction(s)            # exact binary value of the float
+    snap = f.limit_denominator(64)
+    return snap if abs(float(snap) - float(f)) < 1e-9 else f
 
 
 @MODELS.register(name="CiaoSR")
@@ -139,18 +163,50 @@ class CiaoSRRestorer:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _grid_rational_fn(self, h: int, w: int, py: int, qy: int,
+                          px: int, qx: int):
+        """Compiled dense-grid predictor for rational scales py/qy × px/qx
+        (query_rgb_grid_rational — XLA path; integer scales keep their own
+        Pallas-capable program via _grid_fn)."""
+        key = ("gridr", h, w, py, qy, px, qx)
+        if key not in self._jit_cache:
+            gen = self.generator
+
+            @jax.jit
+            def run(params, lq):
+                lq_n = (lq - self.rgb_mean) / self.rgb_std
+                feature = gen.apply(params, lq_n, gen.use_pallas,
+                                    method="gen_feature")
+                pg = 2 if lq.shape[0] <= 2 else 1
+                img = gen.apply(params, feature, lq_n, py, qy, px, qx, pg,
+                                method="query_rgb_grid_rational")
+                img = img * self.rgb_std + self.rgb_mean
+                return jnp.clip(img, 0.0, 1.0)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
     def predict(self, params, lq: np.ndarray, target_shape) -> np.ndarray:
         """Full-image arbitrary-scale SR: lq (H,W,3) float32 [0,1] →
         (th, tw, 3) float32 [0,1].
 
         Integer-scale targets take the dense-grid path (query_rgb_grid);
-        everything else falls back to per-query chunked decoding
-        (batched_predict semantics, eval_bsize) under one jit."""
+        rational targets with a tractable phase count take the rational
+        dense-grid path (query_rgb_grid_rational); everything else falls
+        back to per-query chunked decoding (batched_predict semantics,
+        eval_bsize) under one jit."""
         th, tw = target_shape
         h_, w_ = lq.shape[:2]
         if th % h_ == 0 and tw % w_ == 0 and th // h_ == tw // w_ \
                 and th // h_ >= 1:
             fn = self._grid_fn(h_, w_, th // h_)
+            out = fn(params, jnp.asarray(lq[None]))
+            return np.asarray(out[0])
+        sy, sx = Fraction(th, h_), Fraction(tw, w_)
+        if sy >= 1 and sx >= 1 \
+                and sy.numerator * sx.numerator <= _MAX_GRID_PHASES:
+            fn = self._grid_rational_fn(h_, w_, sy.numerator, sy.denominator,
+                                        sx.numerator, sx.denominator)
             out = fn(params, jnp.asarray(lq[None]))
             return np.asarray(out[0])
         q = th * tw
@@ -170,16 +226,19 @@ class CiaoSRRestorer:
                   jnp.asarray(cell[None]))
         return np.asarray(pred[0, :q]).reshape(th, tw, 3)
 
-    def _tiled_group_fn(self, tile: int, scale: int,
+    def _tiled_group_fn(self, tile: int, scale: Fraction,
                         allow_pallas: bool = True):
         """One jitted call per tile group: dense-grid decode of the batch +
         on-device overlap-add (positions as traced args — one program for
         every group and image). allow_pallas=False keeps the XLA grid path
-        (auto-partitionable under a mesh; Mosaic kernels are not)."""
-        key = ("tgroup", tile, scale, allow_pallas)
+        (auto-partitionable under a mesh; Mosaic kernels are not).
+        Rational scales decode via query_rgb_grid_rational (XLA)."""
+        scale = Fraction(scale)
+        p, q = scale.numerator, scale.denominator
+        key = ("tgroup", tile, p, q, allow_pallas)
         if key not in self._jit_cache:
             gen = self.generator
-            out_t = tile * scale
+            out_t = tile * p // q
 
             @jax.jit
             def run(params, acc, cnt, lq_tiles, ys, xs, mask):
@@ -187,12 +246,16 @@ class CiaoSRRestorer:
                 feature = gen.apply(params, lq_n,
                                     gen.use_pallas and allow_pallas,
                                     method="gen_feature")
-                if gen.use_pallas and allow_pallas:
-                    img = gen.apply(params, feature, lq_n, scale,
+                if q > 1:
+                    pg = 2 if lq_tiles.shape[0] <= 2 else 1
+                    img = gen.apply(params, feature, lq_n, p, q, p, q, pg,
+                                    method="query_rgb_grid_rational")
+                elif gen.use_pallas and allow_pallas:
+                    img = gen.apply(params, feature, lq_n, p,
                                     method="query_rgb_grid_pallas")
                 else:
                     pg = 2 if lq_tiles.shape[0] <= 2 else 1
-                    img = gen.apply(params, feature, lq_n, scale, pg,
+                    img = gen.apply(params, feature, lq_n, p, pg,
                                     method="query_rgb_grid")
                 img = jnp.clip(img * self.rgb_std + self.rgb_mean, 0.0, 1.0)
 
@@ -215,27 +278,45 @@ class CiaoSRRestorer:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
-    def predict_tiled(self, params, lq: np.ndarray, scale: int,
+    def predict_tiled(self, params, lq: np.ndarray, scale,
                       tile: int, tile_overlap: int = 32,
                       mesh=None) -> np.ndarray:
         """Overlap-average tiling (clip_test, ciaosr.py:218-257) with
         static tile shapes: every tile is (tile, tile) on the LR grid →
         a single XLA program reused across tiles and images.
 
+        Rational scales p/q are supported BEYOND the reference (whose
+        clip_test computes float tensor-slice bounds for non-integer
+        ``sf`` and crashes, ciaosr.py:245-255): tile size and tile starts
+        snap down to multiples of q so every HR tile position tile·p/q is
+        integral, and the image is reflect-padded to a q-multiple first
+        (output cropped back), so tiled ×2.5 is exact instead of silently
+        flooring to ×2.
+
         With ``mesh`` (1-D, axis 'data'), tile groups shard across chips —
         the spatial analogue of sequence parallelism (SURVEY.md §5.7):
         each chip encodes/decodes its tiles, the overlap-add runs on the
         replicated accumulator (tile outputs ride ICI once)."""
+        scale = as_scale_fraction(scale)
+        p, q = scale.numerator, scale.denominator
         h, w = lq.shape[:2]
-        tile = min(tile, h, w)
-        stride = tile - tile_overlap
+        th, tw = round(h * p / q), round(w * p / q)
+        if q > 1 and (h % q or w % q):
+            hp, wp = _ceil_to(h, q), _ceil_to(w, q)
+            lq = np.pad(lq, ((0, hp - h), (0, wp - w), (0, 0)),
+                        mode="reflect")
+            h, w = hp, wp
+        tile = min(tile, h, w) // q * q
+        if tile <= 0:
+            raise ValueError(f"tile too small for scale {p}/{q}")
+        stride = max(tile - tile_overlap, q) // q * q
         hs = sorted(set(list(range(0, h - tile, stride)) + [h - tile]))
         ws = sorted(set(list(range(0, w - tile, stride)) + [w - tile]))
-        out_t = tile * scale
+        out_t = tile * p // q
         # accumulate on DEVICE: per-tile predictions never cross the host
         # link (only the final image does)
-        acc = jnp.zeros((h * scale, w * scale, 3), jnp.float32)
-        cnt = jnp.zeros((h * scale, w * scale, 1), jnp.float32)
+        acc = jnp.zeros((h * p // q, w * p // q, 3), jnp.float32)
+        cnt = jnp.zeros((h * p // q, w * p // q, 1), jnp.float32)
 
         tiles = [(hi, wi) for hi in hs for wi in ws]
         # default single-tile groups: dispatches pipeline in-order, so
@@ -269,9 +350,9 @@ class CiaoSRRestorer:
             lq_tiles = np.stack(
                 [lq[hi:hi + tile, wi:wi + tile] for hi, wi in group]
                 + [np.zeros((tile, tile, 3), np.float32)] * pad)
-            ys = np.asarray([hi * scale for hi, _ in group]
+            ys = np.asarray([hi * p // q for hi, _ in group]
                             + [0] * pad, np.int32)
-            xs = np.asarray([wi * scale for _, wi in group]
+            xs = np.asarray([wi * p // q for _, wi in group]
                             + [0] * pad, np.int32)
             mask = np.asarray([1.0] * n + [0.0] * pad, np.float32)
             lq_tiles = jnp.asarray(lq_tiles) if tile_sh is None else \
@@ -279,21 +360,26 @@ class CiaoSRRestorer:
             acc, cnt = group_fn(params, acc, cnt, lq_tiles,
                                 jnp.asarray(ys), jnp.asarray(xs),
                                 jnp.asarray(mask))
-        return np.asarray(acc / cnt).astype(np.float32)
+        out = np.asarray(acc / cnt).astype(np.float32)
+        return out[:th, :tw]   # crop the q-alignment pad (no-op for q == 1)
 
     def forward_test(self, params, lq: np.ndarray, target_shape=None,
-                     scale: int | None = None, mesh=None) -> np.ndarray:
+                     scale=None, mesh=None) -> np.ndarray:
         """Reference forward_test dispatch (ciaosr.py:141-169): tiled when
-        test_cfg.tile is set, otherwise full-image chunked prediction."""
+        test_cfg.tile is set, otherwise full-image chunked prediction.
+        Non-integer scales are exact on both paths (no int() flooring;
+        the reference's own clip_test crashes on them)."""
         cfg = self.test_cfg
         tile = cfg.get("tile") if hasattr(cfg, "get") else None
         if tile:
-            s = scale or cfg.get("scale")
-            return self.predict_tiled(params, lq, int(s), int(tile),
+            s = as_scale_fraction(scale if scale is not None
+                                  else cfg.get("scale"))
+            return self.predict_tiled(params, lq, s, int(tile),
                                       int(cfg.get("tile_overlap", 32)),
                                       mesh=mesh)
         if target_shape is None:
-            s = scale or cfg.get("scale")
+            s = float(as_scale_fraction(
+                scale if scale is not None else cfg.get("scale")))
             target_shape = (round(lq.shape[0] * s), round(lq.shape[1] * s))
         return self.predict(params, lq, target_shape)
 

@@ -584,10 +584,13 @@ def _build_f3p(u_map, csa_map, wk0, wvu, wvc, interpret):
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * (h + 2) * w * (dk * (hk_p + hv_p)
-                                           + dc * hv_p),
+            flops=2 * bsz * (h + 2) * w * (
+                dk * (wk0.shape[-1] + wvu.shape[-1])
+                + dc * wvu.shape[-1]),
             bytes_accessed=bsz * (h + 2) * w * (
-                (dk + dc) * u_map.dtype.itemsize + 3 * lanes * 2),
+                dk * u_map.dtype.itemsize
+                + (dc * csa_map.dtype.itemsize if dc else 0)
+                + 3 * lanes * 2),
             transcendentals=0),
         interpret=interpret,
     )(*ops)

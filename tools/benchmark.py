@@ -65,7 +65,9 @@ def bench_fn(fn, *args, iters=15):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="rdn", choices=sorted(ENCODERS))
-    p.add_argument("--scales", type=int, nargs="+", default=[2, 3, 4, 6, 8])
+    p.add_argument("--scales", type=str, nargs="+",
+                   default=["2", "3", "4", "6", "8"],
+                   help="integer, decimal (1.5) or rational (7/3) scales")
     p.add_argument("--tile", type=int, default=192)
     p.add_argument("--train", action="store_true",
                    help="also benchmark the training step")
@@ -90,13 +92,25 @@ def main():
 
     lq = jnp.asarray(rng.random((1, args.tile, args.tile, 3),
                                 dtype=np.float32))
-    for s in args.scales:
-        fn = restorer._grid_fn(args.tile, args.tile, s)
+    from ciaosr_tpu.models.restorers import as_scale_fraction
+    for s_str in args.scales:
+        s = as_scale_fraction(s_str)
+        p_, q_ = s.numerator, s.denominator
+        if args.tile % q_:
+            print(f"x{s_str}: skipped (tile {args.tile} not divisible by "
+                  f"q={q_})", flush=True)
+            continue
+        if q_ == 1:
+            fn = restorer._grid_fn(args.tile, args.tile, p_)
+        else:
+            fn = restorer._grid_rational_fn(args.tile, args.tile,
+                                            p_, q_, p_, q_)
         dt = bench_fn(fn, params, lq)
-        mps = (args.tile * s) ** 2 / 1e6 / dt
-        results[f"x{s}_ms"] = round(dt * 1e3, 1)
-        results[f"x{s}_mps"] = round(mps, 2)
-        print(f"x{s}: {dt * 1e3:7.1f} ms/tile  {mps:7.2f} MP/s", flush=True)
+        mps = (args.tile * p_ // q_) ** 2 / 1e6 / dt
+        results[f"x{s_str}_ms"] = round(dt * 1e3, 1)
+        results[f"x{s_str}_mps"] = round(mps, 2)
+        print(f"x{s_str}: {dt * 1e3:7.1f} ms/tile  {mps:7.2f} MP/s",
+              flush=True)
 
     if args.train:
         from ciaosr_tpu.train.optim import build_optimizer

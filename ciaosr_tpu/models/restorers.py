@@ -257,7 +257,12 @@ class CiaoSRRestorer:
                     pg = 2 if lq_tiles.shape[0] <= 2 else 1
                     img = gen.apply(params, feature, lq_n, p, pg,
                                     method="query_rgb_grid")
-                img = jnp.clip(img * self.rgb_std + self.rgb_mean, 0.0, 1.0)
+                # NO clip here: the reference accumulates raw tile outputs
+                # and clamps once AFTER overlap-averaging (ciaosr.py:
+                # 160-163 denorm+clamp runs on clip_test's E/W quotient);
+                # clipping per tile would disagree wherever a prediction
+                # leaves [0,1] under one tile but not its neighbor
+                img = img * self.rgb_std + self.rgb_mean
 
                 def body(j, carry):
                     a, c = carry
@@ -360,7 +365,9 @@ class CiaoSRRestorer:
             acc, cnt = group_fn(params, acc, cnt, lq_tiles,
                                 jnp.asarray(ys), jnp.asarray(xs),
                                 jnp.asarray(mask))
-        out = np.asarray(acc / cnt).astype(np.float32)
+        # denorm commutes with the overlap average; the clamp must follow
+        # it (ciaosr.py:160-163 clamps the E/W quotient, not the tiles)
+        out = np.clip(np.asarray(acc / cnt), 0.0, 1.0).astype(np.float32)
         return out[:th, :tw]   # crop the q-alignment pad (no-op for q == 1)
 
     def forward_test(self, params, lq: np.ndarray, target_shape=None,

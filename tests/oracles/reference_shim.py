@@ -189,3 +189,198 @@ def load_reference():
     _loaded["ciaosr_net"] = importlib.import_module(
         "mmedited.models.backbones.sr_backbones.ciaosr_net")
     return types.SimpleNamespace(**_loaded)
+
+
+# --------------------------------------------------------------------------
+# Restorer layer (round 3): import the reference's OWN restorers + metrics —
+# mmedited/models/restorers/{basic_restorer,ciaosr,real_ciaosr}.py and
+# mmedited/core/evaluation/metrics.py — under additional external stand-ins
+# (mmedit BaseModel/SRGAN, mmedit losses, mmcv helpers).  The stand-ins
+# replicate documented mmediting-0.11 semantics (SURVEY.md §0.2: strings in
+# configs resolve to external mmedit classes); everything CiaoSR-specific
+# (tiling, normalization, loss routing, gating, EMA, metric protocol) runs
+# as genuine reference code.
+# --------------------------------------------------------------------------
+
+class RefCfg(dict):
+    """mmcv.Config stand-in: attribute access + dict protocol, as the
+    reference restorers use on test_cfg/train_cfg (ciaosr.py:222-224,
+    basic_restorer.py:111-124)."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(k) from e
+
+
+class _RefBaseModel(nn.Module):
+    """mmedit.models.base.BaseModel stand-in: nn.Module + parse_losses
+    (mean per entry, total = sum of entries with 'loss' in the key,
+    log_vars as floats — mmedit BaseModel semantics, single-process)."""
+
+    def parse_losses(self, losses):
+        from collections import OrderedDict
+        log_vars = OrderedDict()
+        for name, value in losses.items():
+            log_vars[name] = (value.mean() if torch.is_tensor(value)
+                              else sum(v.mean() for v in value))
+        loss = sum(v for k, v in log_vars.items() if "loss" in k)
+        log_vars["loss"] = loss
+        out = OrderedDict((k, float(v.item())) for k, v in log_vars.items())
+        return loss, out
+
+    def init_weights(self, pretrained=None):
+        if pretrained is not None:  # pragma: no cover
+            raise RuntimeError("shim: no pretrained loading")
+
+    def forward(self, *a, **k):  # overridden by subclasses
+        raise NotImplementedError
+
+
+class _RefL1Loss(nn.Module):
+    """mmedit L1Loss (mean reduction)."""
+
+    def __init__(self, loss_weight=1.0, reduction="mean"):
+        super().__init__()
+        assert reduction == "mean"
+        self.loss_weight = loss_weight
+
+    def forward(self, pred, target, **kw):
+        return self.loss_weight * torch.abs(pred - target).mean()
+
+
+class _RefGANLoss(nn.Module):
+    """mmedit GANLoss, vanilla flavor (BCE-with-logits); generator loss
+    scaled by loss_weight, discriminator always 1.0 — the semantics our
+    losses/gan.py re-derives (reference gan_loss.py:12-131)."""
+
+    def __init__(self, gan_type="vanilla", real_label_val=1.0,
+                 fake_label_val=0.0, loss_weight=1.0):
+        super().__init__()
+        assert gan_type == "vanilla", "shim supports the 002 config flavor"
+        self.real_label_val = real_label_val
+        self.fake_label_val = fake_label_val
+        self.loss_weight = loss_weight
+        self.loss = nn.BCEWithLogitsLoss()
+
+    def forward(self, input, target_is_real, is_disc=False):
+        val = self.real_label_val if target_is_real else self.fake_label_val
+        target = input.new_ones(input.size()) * val
+        loss = self.loss(input, target)
+        return loss if is_disc else loss * self.loss_weight
+
+
+def _build_loss(cfg):
+    cfg = dict(cfg)
+    t = cfg.pop("type")
+    if not isinstance(t, str):
+        return t(**cfg)
+    if t == "L1Loss":
+        return _RefL1Loss(**cfg)
+    if t == "GANLoss":
+        return _RefGANLoss(**cfg)
+    raise KeyError(f"shim build_loss: unknown type {t}")
+
+
+class _RefSRGAN(_RefBaseModel):
+    """mmedit.models.restorers.srgan.SRGAN stand-in: the base-class ctor
+    surface RealCiaoSR relies on (generator/disc/losses via builders,
+    disc_steps/disc_init_steps from train_cfg, step_counter attr it
+    deletes and re-registers, real_ciaosr.py:63-96)."""
+
+    def __init__(self, generator, discriminator=None, gan_loss=None,
+                 pixel_loss=None, perceptual_loss=None, train_cfg=None,
+                 test_cfg=None, pretrained=None):
+        super().__init__()
+        self.train_cfg = train_cfg
+        self.test_cfg = test_cfg
+        self.generator = _build_backbone(generator)
+        self.discriminator = (_build_component(discriminator)
+                              if discriminator else None)
+        self.gan_loss = _build_loss(gan_loss) if gan_loss else None
+        self.pixel_loss = _build_loss(pixel_loss) if pixel_loss else None
+        self.perceptual_loss = (_build_loss(perceptual_loss)
+                                if perceptual_loss else None)
+        self.disc_steps = (1 if train_cfg is None
+                           else train_cfg.get("disc_steps", 1))
+        self.disc_init_steps = (0 if train_cfg is None
+                                else train_cfg.get("disc_init_steps", 0))
+        self.step_counter = 0
+        self.fp16_enabled = False
+        self.init_weights(pretrained)
+
+
+def load_reference_restorers():
+    """Import the reference restorer + metrics modules (memoized).
+    Returns a namespace also containing everything from load_reference()."""
+    load_reference()
+    if "ciaosr_restorer" in _loaded:
+        return types.SimpleNamespace(**_loaded)
+
+    import numpy as np
+
+    from ciaosr_tpu.core import color as our_color
+    from ciaosr_tpu.core.color import bgr2ycbcr
+
+    def _mm_tensor2img(tensor, out_type=np.uint8, min_max=(0, 1)):
+        # mmedit tensor2img for the shapes the restorers emit (1,C,H,W):
+        # clamp to min_max, CHW→HWC, RGB→BGR, ×255 round (batch-1 case)
+        t = tensor.detach().float().cpu()
+        if t.ndim == 4:
+            assert t.shape[0] == 1, "shim tensor2img: batch-1 only"
+            t = t[0]
+        img = t.numpy().transpose(1, 2, 0)
+        return our_color.tensor2img(img, out_type=out_type, min_max=min_max)
+
+    mmcv = sys.modules["mmcv"]
+    mmcv.bgr2ycbcr = bgr2ycbcr
+
+    def auto_fp16(apply_to=None):
+        def deco(fn):
+            return fn
+        return deco
+
+    sys.modules["mmcv.runner"].auto_fp16 = auto_fp16
+    _fake_module("mmcv.parallel", is_module_wrapper=lambda m: False)
+
+    def set_requires_grad(nets, requires_grad=False):
+        if not isinstance(nets, list):
+            nets = [nets]
+        for net in nets:
+            if net is not None:
+                for p in net.parameters():
+                    p.requires_grad = requires_grad
+
+    _fake_module("mmedit.models.common",
+                 set_requires_grad=set_requires_grad)
+    _fake_module("mmedit.models.base", BaseModel=_RefBaseModel)
+    sys.modules["mmedit.models.builder"].build_loss = _build_loss
+    _fake_module("mmedit.models.restorers")
+    _fake_module("mmedit.models.restorers.srgan", SRGAN=_RefSRGAN)
+    _fake_module("thop", profile=lambda *a, **k: (0, 0))
+
+    # reference metrics.py externals: MATLABLikeResize / gauss_gradient are
+    # touched only by niqe/matting paths we don't drive here
+    _fake_module("mmedit.datasets.pipelines.matlab_like_resize",
+                 MATLABLikeResize=type("MATLABLikeResize", (), {}))
+    _fake_module("mmedit.core.evaluation")
+    _fake_module("mmedit.core.evaluation.metric_utils",
+                 gauss_gradient=None)
+
+    import importlib
+    ref_metrics = importlib.import_module("mmedited.core.evaluation.metrics")
+    _loaded["ref_metrics"] = ref_metrics
+
+    # mmedit.core: psnr/ssim from the REFERENCE's own vendored metrics
+    # (functionally what the external registry resolves to, SURVEY §2.7)
+    _fake_module("mmedit.core", psnr=ref_metrics.psnr, ssim=ref_metrics.ssim,
+                 tensor2img=_mm_tensor2img)
+
+    _loaded["basic_restorer"] = importlib.import_module(
+        "mmedited.models.restorers.basic_restorer")
+    _loaded["ciaosr_restorer"] = importlib.import_module(
+        "mmedited.models.restorers.ciaosr")
+    _loaded["real_ciaosr"] = importlib.import_module(
+        "mmedited.models.restorers.real_ciaosr")
+    return types.SimpleNamespace(**_loaded)

@@ -65,13 +65,32 @@ def main():
 
     mp = tb * (LQ_TILE * SCALE) ** 2 / 1e6
     mps = mp * iters / dt
-    print(json.dumps({
+
+    # MFU: XLA's own FLOP count for the compiled program over measured
+    # wall-clock, against v5e bf16 peak (197 TFLOP/s). This number is
+    # independent of the estimated reference-GPU denominator above.
+    rec = {
         "metric": "rdn_ciaosr_x4_eval_throughput",
         "value": round(mps, 4),
         "unit": "megapixels/s/chip",
         "vs_baseline": round(mps / REFERENCE_GPU_MPS_ESTIMATE, 2),
         "baseline_note": "denominator is an ESTIMATE (reference publishes no throughput; see header)",
-    }))
+    }
+    try:
+        cost = fn.lower(params, lq).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            achieved = flops * iters / dt / 1e12
+            peak_bf16_tflops = 197.0   # TPU v5e (v5 lite) bf16 peak
+            rec["achieved_tflops"] = round(achieved, 2)
+            rec["mfu_pct"] = round(100.0 * achieved / peak_bf16_tflops, 2)
+            rec["flops_note"] = ("XLA cost_analysis FLOPs; custom-call "
+                                 "(Pallas) FLOPs counted via CostEstimate")
+    except Exception:
+        pass   # cost analysis unavailable on some backends; MP/s stands
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

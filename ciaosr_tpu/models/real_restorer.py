@@ -84,7 +84,10 @@ class RealCiaoSRRestorer(CiaoSRRestorer):
     # ------------------------------------------------------------- init --
     def init_gan_state(self, rng, g_tx, d_tx, lq_shape=(1, 64, 64, 3),
                        n_queries: int = 4096,
-                       g_params=None) -> GANTrainState:
+                       g_params=None, ema_params=None) -> GANTrainState:
+        """``ema_params`` seeds the EMA copy independently (staged
+        load_from restores stage-1's generator_ema, real_ciaosr.py:84-91 +
+        configs/002_real_gan_...py:376); default: a copy of g_params."""
         rng_g, rng_d = jax.random.split(rng)
         if g_params is None:
             g_params = self.init_params(rng_g, lq_shape, n_queries)
@@ -100,7 +103,8 @@ class RealCiaoSRRestorer(CiaoSRRestorer):
         return GANTrainState(
             step=jnp.asarray(0), g_params=g_params,
             g_opt=g_tx.init(g_params), d_vars=d_vars, d_opt=d_opt,
-            ema_params=jax.tree.map(jnp.copy, g_params))
+            ema_params=(jax.tree.map(jnp.copy, g_params)
+                        if ema_params is None else ema_params))
 
     # -------------------------------------------------------- train step --
     def make_gan_train_step(self, g_tx, d_tx):

@@ -102,6 +102,36 @@ def restore_external(path: str, state_like):
     return restored, step
 
 
+def load_staged_generator(path: str):
+    """Stage-2 GAN ``load_from`` (configs/002_real_gan_...py:376): seed the
+    generator AND its EMA copy from a stage-1 (wogan) run — the reference
+    loads latest.pth non-strictly into RealCiaoSR, which fills both
+    ``generator`` and ``generator_ema``.
+
+    Accepts a work_dir / checkpoints dir / step dir holding a full train
+    state (GANTrainState: g_params + ema_params; or classical TrainState:
+    params), or a raw params dir written by :func:`save_params` (e.g. a
+    converted reference checkpoint). Returns (g_params, ema_params).
+    """
+    mgr_dir, step = resolve_checkpoint_dir(path)
+    has_steps = os.path.isdir(mgr_dir) and any(
+        d.isdigit() for d in os.listdir(mgr_dir))
+    if has_steps:
+        mgr = ocp.CheckpointManager(
+            mgr_dir, options=ocp.CheckpointManagerOptions(create=False))
+        step = step if step is not None else mgr.latest_step()
+        tree = mgr.restore(step, args=ocp.args.StandardRestore())
+        mgr.close()
+        if "g_params" in tree:
+            return tree["g_params"], tree.get("ema_params",
+                                              tree["g_params"])
+        if "params" in tree:
+            return tree["params"], tree["params"]
+        return tree, tree
+    params = load_params(path)
+    return params, params
+
+
 def save_params(path: str, params) -> None:
     """One-shot params save (for converted checkpoints / release)."""
     ckpt = ocp.StandardCheckpointer()

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ciaosr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from ciaosr_tpu.train.checkpoint import CheckpointManager, load_params
+from ciaosr_tpu.train.checkpoint import CheckpointManager
 from ciaosr_tpu.train.optim import build_optimizer
 from ciaosr_tpu.train.trainer import MetricLogger
 
@@ -51,17 +51,21 @@ class GANTrainer:
             interval=self.cfg.get("log_config", {}).get("interval", 100))
 
     def init_state(self, sample_batch: dict):
-        g_params = None
+        g_params = ema_params = None
         load_from = self.cfg.get("load_from")
-        if load_from:  # staged training: stage-1 (wogan) generator
-            g_params = load_params(load_from)
+        if load_from:  # staged training: stage-1 (wogan) generator + EMA
+            from ciaosr_tpu.train.checkpoint import load_staged_generator
+            g_params, ema_params = load_staged_generator(load_from)
+            g_params = jax.tree.map(jnp.asarray, g_params)
+            ema_params = jax.tree.map(jnp.asarray, ema_params)
             print(f"[load_from] generator initialized from {load_from}",
                   flush=True)
         lq = sample_batch["lq"]
         state = self.restorer.init_gan_state(
             jax.random.PRNGKey(self.seed), self.g_tx, self.d_tx,
             lq_shape=(1, *lq.shape[1:]),
-            n_queries=sample_batch["coord"].shape[1], g_params=g_params)
+            n_queries=sample_batch["coord"].shape[1], g_params=g_params,
+            ema_params=ema_params)
         return replicate(self.mesh, state)
 
     def run(self, loader, total_iters: int, eval_fn=None,

@@ -113,7 +113,12 @@ def _fake_module(name, **attrs):
 
 def _install_stubs():
     def load_checkpoint(model, path, strict=True, logger=None,
-                        map_location=None):  # pragma: no cover - unused
+                        map_location=None):
+        # PerceptualVGG.init_weights loads 'torchvision://vgg19'
+        # (perceptual_loss.py:82-88); the shim keeps the factory's random
+        # init — the parity tests export those exact weights to our side
+        if isinstance(path, str) and path.startswith("torchvision://"):
+            return None
         raise RuntimeError("shim load_checkpoint should not be called")
 
     def constant_init(module, val, bias=0):  # mmcv.cnn semantics
@@ -383,4 +388,41 @@ def load_reference_restorers():
         "mmedited.models.restorers.ciaosr")
     _loaded["real_ciaosr"] = importlib.import_module(
         "mmedited.models.restorers.real_ciaosr")
+    return types.SimpleNamespace(**_loaded)
+
+
+def load_reference_perceptual():
+    """Import the reference's perceptual_loss.py (memoized) with a
+    torchvision vgg19 FACTORY stub: builds the genuine torchvision
+    vgg19.features layer plan ([2,2,4,4,4] conv blocks + maxpools) with
+    RANDOM weights under the caller's torch seed — no download.  The
+    PerceptualVGG / PerceptualLoss classes themselves run as reference
+    code (perceptual_loss.py:12-221)."""
+    load_reference()
+    if "perceptual_loss" in _loaded:
+        return types.SimpleNamespace(**_loaded)
+
+    def _vgg19_features():
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+               512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+        layers, in_c = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers.append(nn.Conv2d(in_c, v, 3, padding=1))
+                layers.append(nn.ReLU(inplace=True))
+                in_c = v
+        return nn.Sequential(*layers)
+
+    class _VGGHolder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = _vgg19_features()
+
+    sys.modules["torchvision.models.vgg"].vgg19 = lambda **kw: _VGGHolder()
+
+    import importlib
+    _loaded["perceptual_loss"] = importlib.import_module(
+        "mmedited.models.losses.perceptual_loss")
     return types.SimpleNamespace(**_loaded)

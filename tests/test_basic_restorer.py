@@ -4,6 +4,8 @@ restorer surface (basic_restorer.py:17-237)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

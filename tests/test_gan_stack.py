@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -213,3 +215,52 @@ def test_ema_inference_path(rng):
     out_raw = restorer.forward_test(params, lq, target_shape=(16, 16))
     assert out_ema.shape == (16, 16, 3)
     assert not np.allclose(out_ema, out_raw)
+
+
+def test_load_staged_generator_roundtrip(tmp_path, rng):
+    """load_staged_generator extracts (g_params, ema_params) from a saved
+    GANTrainState work_dir, from a classical TrainState, and from a raw
+    params dir — the three load_from shapes (checkpoint.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ciaosr_tpu.train.checkpoint import (CheckpointManager,
+                                             load_staged_generator,
+                                             save_params)
+
+    g = {"dense": {"kernel": jnp.asarray(rng.random((3, 4), np.float32))}}
+    ema = {"dense": {"kernel": jnp.asarray(rng.random((3, 4), np.float32))}}
+
+    # GANTrainState-shaped tree in a work_dir
+    wd = tmp_path / "gan_run"
+    mgr = CheckpointManager(str(wd), interval=1)
+    state = {"step": jnp.asarray(3), "g_params": g, "ema_params": ema,
+             "g_opt": {"count": jnp.asarray(3)},
+             "d_vars": {"params": {}, "batch_stats": {}},
+             "d_opt": {"count": jnp.asarray(3)}}
+    mgr.save(3, state)
+    mgr.wait()
+    got_g, got_ema = load_staged_generator(str(wd))
+    np.testing.assert_array_equal(got_g["dense"]["kernel"],
+                                  g["dense"]["kernel"])
+    np.testing.assert_array_equal(got_ema["dense"]["kernel"],
+                                  ema["dense"]["kernel"])
+
+    # classical TrainState (params only) → ema defaults to params
+    wd2 = tmp_path / "classical_run"
+    mgr2 = CheckpointManager(str(wd2), interval=1)
+    mgr2.save(5, {"step": jnp.asarray(5), "params": g,
+                  "opt_state": {"count": jnp.asarray(5)}})
+    mgr2.wait()
+    got_g, got_ema = load_staged_generator(str(wd2))
+    np.testing.assert_array_equal(got_g["dense"]["kernel"],
+                                  g["dense"]["kernel"])
+    np.testing.assert_array_equal(got_ema["dense"]["kernel"],
+                                  g["dense"]["kernel"])
+
+    # raw params dir (converted-checkpoint shape)
+    raw = tmp_path / "raw_params"
+    save_params(str(raw), g)
+    got_g, got_ema = load_staged_generator(str(raw))
+    np.testing.assert_array_equal(got_g["dense"]["kernel"],
+                                  g["dense"]["kernel"])

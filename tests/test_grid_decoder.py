@@ -8,6 +8,8 @@ behavior of the shifted samples and the local-ensemble snap offsets.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

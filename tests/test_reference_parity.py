@@ -19,8 +19,9 @@ import jax.numpy as jnp
 
 from ciaosr_tpu.core.coords import make_coord_cell
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir("/root/reference"), reason="reference tree not present")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir("/root/reference"),
+    reason="reference tree not present")]
 
 
 @pytest.fixture(scope="module")

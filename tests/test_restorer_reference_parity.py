@@ -24,8 +24,9 @@ import jax.numpy as jnp
 
 from ciaosr_tpu.core.coords import make_coord_cell
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir("/root/reference"), reason="reference tree not present")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir("/root/reference"),
+    reason="reference tree not present")]
 
 RGB_MEAN = (0.4488, 0.4371, 0.4040)   # DIV2K protocol (configs 001)
 

@@ -124,9 +124,17 @@ def convert_csa(sd: dict, scales=(2,)) -> dict:
 def convert_generator(state_dict: dict, *, encoder: str, feat_dim: int,
                       n_hidden: int = 4, feat_unfold: bool = True,
                       non_local_attn: bool = True,
-                      multi_scale=(2,)) -> dict:
-    """Full LocalImplicitSR{RDN,EDSR,SWINIR} state_dict → flax params."""
-    sd = strip_prefix(state_dict)
+                      multi_scale=(2,), strict: bool = False,
+                      log=None) -> dict:
+    """Full LocalImplicitSR{RDN,EDSR,SWINIR} state_dict → flax params.
+
+    ``strict=True`` audits key consumption (convert/audit.py): every
+    checkpoint key must be either converted or explained by a
+    known-ignored rule, else ConversionAuditError.
+    """
+    from ciaosr_tpu.convert.audit import TrackedStateDict, report
+
+    sd = TrackedStateDict(strip_prefix(state_dict))
     c = feat_dim
     base = 9 * c if feat_unfold else c
     nla = c * len(multi_scale) if non_local_attn else 0
@@ -154,16 +162,17 @@ def convert_generator(state_dict: dict, *, encoder: str, feat_dim: int,
         params["cs_attn"] = convert_csa(sd, scales=multi_scale)
 
     if encoder == "rdn":
-        enc_sd = {k: v for k, v in sd.items()
-                  if k.startswith(("sfe", "rdbs", "gff"))}
-        params["encoder"] = convert_rdn_encoder(enc_sd)
+        params["encoder"] = convert_rdn_encoder(sd)
     elif encoder == "edsr":
-        enc_sd = {k: v for k, v in sd.items()
-                  if k.startswith(("conv_first", "body", "conv_after_body"))}
-        params["encoder"] = convert_edsr_encoder(enc_sd)
+        params["encoder"] = convert_edsr_encoder(sd)
     elif encoder == "swinir":
         from ciaosr_tpu.convert.swinir_weights import convert_swinir_encoder
         params["encoder"] = convert_swinir_encoder(sd)
     else:
         raise ValueError(f"unknown encoder family {encoder}")
+
+    if strict or log is not None:
+        report(sd, original_keys=list(state_dict), prefix="generator."
+               if any(k.startswith("generator.") for k in state_dict)
+               else None, strict=strict, log=log or (lambda *_: None))
     return {"params": params}

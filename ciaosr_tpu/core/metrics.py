@@ -10,6 +10,7 @@ These run on host (numpy/cv2) — metric evaluation is not device work.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -129,40 +130,55 @@ def _load_niqe_params(path: str | None = None):
             data["gaussian_window"])
 
 
-def _estimate_aggd_param(block: np.ndarray):
-    """Estimate AGGD (alpha, beta_l, beta_r) — metrics.py:340-380 behavior."""
-    block = block.flatten()
-    gam = np.arange(0.2, 10.001, 0.001)
-    from scipy.special import gamma as g
-    gam_reciprocal = np.reciprocal(gam)
-    r_gam = np.square(g(gam_reciprocal * 2)) / (
-        g(gam_reciprocal) * g(gam_reciprocal * 3))
-
-    left_std = np.sqrt(np.mean(block[block < 0] ** 2)) if np.any(block < 0) else 0.0
-    right_std = np.sqrt(np.mean(block[block > 0] ** 2)) if np.any(block > 0) else 0.0
-    gammahat = left_std / right_std if right_std > 0 else np.inf
-    rhat = (np.mean(np.abs(block))) ** 2 / np.mean(block ** 2)
-    rhatnorm = (rhat * (gammahat ** 3 + 1) * (gammahat + 1)) / (
-        (gammahat ** 2 + 1) ** 2)
-    array_position = np.argmin((r_gam - rhatnorm) ** 2)
-
-    alpha = gam[array_position]
-    beta_l = left_std * np.sqrt(g(1 / alpha) / g(3 / alpha))
-    beta_r = right_std * np.sqrt(g(1 / alpha) / g(3 / alpha))
-    return alpha, beta_l, beta_r
+@functools.lru_cache(maxsize=1)
+def _aggd_alpha_grid():
+    """Candidate shape parameters on the standard MATLAB-niqe grid
+    ([0.2, 10] step 1e-3) with the generalized-Gaussian moment ratio
+    rho(a) = Γ(2/a)² / (Γ(1/a)·Γ(3/a)) each maps to.  Fitting inverts
+    rho by nearest-table-entry lookup; cached — it never changes."""
+    from scipy.special import gamma as G
+    alphas = np.arange(0.2, 10.001, 0.001)
+    inv = 1.0 / alphas
+    return alphas, G(2 * inv) ** 2 / (G(inv) * G(3 * inv))
 
 
-def _compute_niqe_feature(block: np.ndarray) -> list:
-    feat = []
-    alpha, beta_l, beta_r = _estimate_aggd_param(block)
-    feat.extend([alpha, (beta_l + beta_r) / 2])
-    shifts = [[0, 1], [1, 0], [1, 1], [1, -1]]
-    for shift in shifts:
-        shifted = np.roll(block, shift, axis=(0, 1))
-        alpha, beta_l, beta_r = _estimate_aggd_param(block * shifted)
-        from scipy.special import gamma as g
-        mean = (beta_r - beta_l) * (g(2 / alpha) / g(1 / alpha))
-        feat.extend([alpha, mean, beta_l, beta_r])
+def _fit_aggd(x: np.ndarray):
+    """Moment-match an asymmetric generalized Gaussian to the samples.
+
+    Returns (alpha, beta_left, beta_right) — the shape and per-side
+    scales NIQE uses as features.  Same estimator family as MATLAB
+    niqe/BRISQUE (behavioral spec: reference metrics.py:340-380)."""
+    from scipy.special import gamma as G
+    x = np.ravel(x)
+    neg, pos = x[x < 0], x[x > 0]
+    s_left = np.sqrt(np.mean(neg ** 2)) if neg.size else 0.0
+    s_right = np.sqrt(np.mean(pos ** 2)) if pos.size else 0.0
+    # asymmetry-corrected moment ratio E|x|²/E x² → invert rho(alpha)
+    asym = s_left / s_right if s_right > 0 else np.inf
+    ratio = np.mean(np.abs(x)) ** 2 / np.mean(x ** 2)
+    target = ratio * (asym ** 3 + 1) * (asym + 1) / (asym ** 2 + 1) ** 2
+    alphas, rho = _aggd_alpha_grid()
+    alpha = alphas[np.argmin((rho - target) ** 2)]
+    side_scale = np.sqrt(G(1 / alpha) / G(3 / alpha))
+    return alpha, s_left * side_scale, s_right * side_scale
+
+
+# neighbor directions for the paired-product features: horizontal,
+# vertical, and the two diagonals
+_NIQE_SHIFTS = ((0, 1), (1, 0), (1, 1), (1, -1))
+
+
+def _compute_niqe_feature(mscn: np.ndarray) -> list:
+    """The 18 per-block NIQE features: AGGD fit of the MSCN coefficients
+    themselves (alpha, mean scale) plus, for each of the four neighbor
+    products, (alpha, asymmetry mean, beta_l, beta_r)."""
+    from scipy.special import gamma as G
+    alpha, b_l, b_r = _fit_aggd(mscn)
+    feat = [alpha, (b_l + b_r) / 2]
+    for shift in _NIQE_SHIFTS:
+        alpha, b_l, b_r = _fit_aggd(mscn * np.roll(mscn, shift, axis=(0, 1)))
+        feat += [alpha, (b_r - b_l) * (G(2 / alpha) / G(1 / alpha)),
+                 b_l, b_r]
     return feat
 
 

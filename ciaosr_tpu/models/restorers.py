@@ -227,21 +227,27 @@ class CiaoSRRestorer:
         return np.asarray(pred[0, :q]).reshape(th, tw, 3)
 
     def _tiled_group_fn(self, tile: int, scale: Fraction,
-                        allow_pallas: bool = True):
+                        allow_pallas: bool = True, mesh=None):
         """One jitted call per tile group: dense-grid decode of the batch +
         on-device overlap-add (positions as traced args — one program for
         every group and image). allow_pallas=False keeps the XLA grid path
-        (auto-partitionable under a mesh; Mosaic kernels are not).
+        (auto-partitionable under a mesh). Mosaic kernels are NOT
+        auto-partitionable — with ``mesh`` the decode instead runs under
+        ``jax.shard_map`` over the tile-batch axis, so each chip executes
+        the fused Pallas path on its local tile shard (per-shard shapes
+        are concrete inside shard_map); the tile outputs then ride ICI
+        once into the replicated overlap-add, as before.
         Rational scales decode via query_rgb_grid_rational (XLA)."""
         scale = Fraction(scale)
         p, q = scale.numerator, scale.denominator
-        key = ("tgroup", tile, p, q, allow_pallas)
+        mesh_key = None if mesh is None else (
+            tuple(mesh.axis_names), tuple(d.id for d in mesh.devices.flat))
+        key = ("tgroup", tile, p, q, allow_pallas, mesh_key)
         if key not in self._jit_cache:
             gen = self.generator
             out_t = tile * p // q
 
-            @jax.jit
-            def run(params, acc, cnt, lq_tiles, ys, xs, mask):
+            def decode(params, lq_tiles):
                 lq_n = (lq_tiles - self.rgb_mean) / self.rgb_std
                 feature = gen.apply(params, lq_n,
                                     gen.use_pallas and allow_pallas,
@@ -262,7 +268,24 @@ class CiaoSRRestorer:
                 # 160-163 denorm+clamp runs on clip_test's E/W quotient);
                 # clipping per tile would disagree wherever a prediction
                 # leaves [0,1] under one tile but not its neighbor
-                img = img * self.rgb_std + self.rgb_mean
+                return img * self.rgb_std + self.rgb_mean
+
+            if mesh is not None:
+                from jax.sharding import PartitionSpec as P
+                axis = mesh.axis_names[0]
+                # check_vma=False: pallas_call out_shapes carry no vma
+                # annotation, and the body is embarrassingly parallel
+                # over tiles (no collectives to validate)
+                decode_fn = jax.shard_map(decode, mesh=mesh,
+                                          in_specs=(P(), P(axis)),
+                                          out_specs=P(axis),
+                                          check_vma=False)
+            else:
+                decode_fn = decode
+
+            @jax.jit
+            def run(params, acc, cnt, lq_tiles, ys, xs, mask):
+                img = decode_fn(params, lq_tiles)
 
                 def body(j, carry):
                     a, c = carry
@@ -343,9 +366,16 @@ class CiaoSRRestorer:
             cnt = jax.device_put(cnt, repl)
 
         # integer-scale tiles ride the dense-grid fast path, batched; one
-        # jitted call per group does decode + on-device overlap-add
-        group_fn = self._tiled_group_fn(tile, scale,
-                                        allow_pallas=mesh is None)
+        # jitted call per group does decode + on-device overlap-add.
+        # Under a mesh the decode runs in shard_map over the tile axis,
+        # which makes the fused Pallas kernels legal per shard — only
+        # rational scales (XLA decode, auto-partitionable) and
+        # non-Pallas generators skip it
+        use_shmap = mesh is not None and self.generator.use_pallas and q == 1
+        group_fn = self._tiled_group_fn(
+            tile, scale,
+            allow_pallas=(mesh is None) or use_shmap,
+            mesh=mesh if use_shmap else None)
 
         for i in range(0, len(tiles), tb):
             group = tiles[i:i + tb]

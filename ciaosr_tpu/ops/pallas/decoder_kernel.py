@@ -275,11 +275,16 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
     n_hidden = len([k for k in params["imnet_k"] if k.startswith("layers")])
     cell_val = 2.0 / s
 
-    if hoist_kout is None:
-        hoist_kout = dk <= 1024
     halo_ok = w % 8 == 0 and h > 1
     if assembly is None:
         assembly = "halo" if halo_ok else "stacked"
+    if hoist_kout is None:
+        # stacked path: the DK-wide w̃ plane traffic beats the FLOP cut
+        # past DK≈1024 (measured round 1: SwinIR 5.23→4.90). Halo path:
+        # the hoist also wins at DK=1620 (42.4→35.0 ms per 192² ×4 tile —
+        # it drops the a128(DK)-lane query window for a 256-lane w̃ read
+        # AND cuts the in-kernel 256→DK matmul), so it is unconditional.
+        hoist_kout = True if assembly == "halo" else dk <= 1024
     if assembly == "halo":
         if not halo_ok:
             raise ValueError("halo assembly needs W % 8 == 0 and H > 1")
@@ -661,9 +666,13 @@ def _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u, h, w, bsz, h_last,
     column variant (element-granularity row starts)."""
     from jax._src.pallas.core import Element
 
-    rows = max(r for r in range(1, 9) if h % r == 0)
-    n_blocks = h // rows
     dk_pad = a128(dk)
+    # wide-DK inputs (SwinIR: dk_pad=1664) blow the 100 MB scoped-VMEM
+    # budget at rows=8 (3 double-buffered (rows+2)-row windows + the f32
+    # qk scratch scale with rows); halve the block height past 1024 lanes
+    rmax = 8 if dk_pad <= 1024 else 4
+    rows = max(r for r in range(1, rmax + 1) if h % r == 0)
+    n_blocks = h // rows
     wk = jnp.pad(w_kout_t.astype(jnp.bfloat16), ((0, dk_pad - dk), (0, 0)))
     bmat = jnp.zeros((dk_pad, 8), jnp.bfloat16).at[:dk, 0].set(
         b_kout.astype(jnp.bfloat16))

@@ -716,12 +716,12 @@ def _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u, h, w, bsz, h_last,
 def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, q_ref,
                         rely_ref, relx_ref, w_refs, out_ref, *, n_shift,
                         n_hidden, softmax_scale, rows, width, dk, dc,
-                        hk_p, hv_p, hoist_kout):
+                        hk_p, hv_p, hoist_kout, phase_inner=False):
     n = rows * width
     weights = {k: r[...] for k, r in w_refs.items()}
     hk = weights["k_b0"].shape[-1]
-    p_idx = pl.program_id(1)
-    i_blk = pl.program_id(2)
+    p_idx = pl.program_id(2) if phase_inner else pl.program_id(1)
+    i_blk = pl.program_id(1) if phase_inner else pl.program_id(2)
     # segment order [g_k | g_v | CSA(pad) | u]: every slice START is a
     # multiple of 128 (hk_p/hv_p/dc_p are 128-aligned); the arbitrary-
     # width u tail needs no padding because nothing follows it
@@ -816,7 +816,8 @@ def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, q_ref,
 
 
 def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
-                      cell_val, softmax_scale, interpret, hoist_kout):
+                      cell_val, softmax_scale, interpret, hoist_kout,
+                      phase_inner=None):
     """grid_decode_fused with halo-fetched shift planes (see the section
     comment above): ~3× less glue HBM traffic than the stacked path —
     three column variants of one merged plane replace four 9-plane
@@ -857,9 +858,28 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
 
     dys, dxs, rely, relx = _phase_tables(s, h, w, shifts)
     n_phase = dys.shape[0]
-    # sel columns: [column variant dx+1, row offset dy+1, wt plane index]
-    sel = np.stack([dxs + 1, dys + 1, (dys + 1) * 3 + (dxs + 1)],
-                   axis=-1).astype(np.int32)
+    # sel columns: [column variant dx+1, row offset dy+1, wt plane index,
+    # output phase row]
+    sel = np.stack([dxs + 1, dys + 1, (dys + 1) * 3 + (dxs + 1),
+                    np.broadcast_to(np.arange(n_phase)[:, None],
+                                    dxs.shape)], axis=-1).astype(np.int32)
+
+    if phase_inner is None:
+        phase_inner = lanes > 1536
+    if phase_inner:
+        # phase-INNER grid: consecutive phases at a fixed row block hit
+        # the same (dy, dx) windows most of the time, and the Mosaic
+        # pipeline elides the copy when a block's index-map output is
+        # unchanged from the previous step. Order phases so each shift's
+        # (dy, dx) pair is piecewise-constant (dy depends only on the
+        # y-phase, dx only on the x-phase → lex sort groups both); the
+        # true output row rides in sel col 3. Wins only where the kernel
+        # is read-bound (wide-DK models — the DK-lane u segment dominates)
+        order = sorted(range(n_phase), key=lambda p: (
+            tuple(dys[p]), tuple(dxs[p])))
+        sel = sel[order]
+        rely = rely[order]
+        relx = relx[order]
 
     weights = {}
     weights.update(_pack_weights(params["imnet_k"], "k", dk, cell_val,
@@ -901,42 +921,52 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
 
     from jax._src.pallas.core import Element
 
+    def pmap_(f):
+        # index maps are written over normalized (b, p, i); the
+        # phase-inner grid permutes the call order to (b, i, p)
+        if phase_inner:
+            return lambda b, i, p, sref: f(b, p, i, sref)
+        return f
+
     def main_spec(si):
         # all-Element block dims (Mosaic constraint); only the row start
         # is a true element offset
         return pl.BlockSpec((Element(1), Element(1), Element(rows),
                              Element(w), Element(lanes)),
-                            (lambda b, p, i, sref, s_=si:
-                             (b, sref[p, s_, 0],
-                              i * rows + sref[p, s_, 1], 0, 0)))
+                            pmap_(lambda b, p, i, sref, s_=si:
+                                  (b, sref[p, s_, 0],
+                                   i * rows + sref[p, s_, 1], 0, 0)))
 
     # the unshifted query window (non-hoist only): column variant 1,
     # row offset +1 — i.e. the identity shift of the u segment
     q_spec = pl.BlockSpec((Element(1), Element(1), Element(rows),
                            Element(w), Element(a128(dk))),
-                          (lambda b, p, i, sref:
-                           (b, 1, i * rows + 1, 0, o_u)))
+                          pmap_(lambda b, p, i, sref:
+                                (b, 1, i * rows + 1, 0, o_u)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bsz, n_phase, n_blocks),
+        grid=((bsz, n_blocks, n_phase) if phase_inner
+              else (bsz, n_phase, n_blocks)),
         in_specs=[
             *[main_spec(si) for si in range(n_shift)],
             *([pl.BlockSpec((1, rows, w, h_last),
-                            (lambda b, p, i, sref, s_=si:
-                             (b * 9 + sref[p, s_, 2], i, 0, 0)))
+                            pmap_(lambda b, p, i, sref, s_=si:
+                                  (b * 9 + sref[p, s_, 2], i, 0, 0)))
                for si in range(n_shift)]
               + [pl.BlockSpec((1, rows, w, 8),
-                              (lambda b, p, i, sref, s_=si:
-                               (b * 9 + sref[p, s_, 2], i, 0, 0)))
+                              pmap_(lambda b, p, i, sref, s_=si:
+                                    (b * 9 + sref[p, s_, 2], i, 0, 0)))
                  for si in range(n_shift)]
               if hoist_kout else [q_spec]),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # rely (P,S,H)
-            pl.BlockSpec((1, n_shift, w), lambda b, p, i, sref: (p, 0, 0)),
+            pl.BlockSpec((1, n_shift, w),
+                         pmap_(lambda b, p, i, sref: (p, 0, 0))),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w_names],
         ],
-        out_specs=pl.BlockSpec((1, rows, w, 8),
-                               lambda b, p, i, sref: (b * n_phase + p, i,
-                                                      0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, rows, w, 8),
+            pmap_(lambda b, p, i, sref:
+                  (b * n_phase + sref[p, 0, 3], i, 0, 0))),
     )
 
     def kernel(sel_ref, *refs):
@@ -960,7 +990,7 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
                             n_shift=n_shift, n_hidden=n_hidden,
                             softmax_scale=softmax_scale, rows=rows,
                             width=w, dk=dk, dc=dc, hk_p=hk_p, hv_p=hv_p,
-                            hoist_kout=hoist_kout)
+                            hoist_kout=hoist_kout, phase_inner=phase_inner)
 
     mlp_flops = ((n_hidden - 1) * 256 * 256
                  + (0 if hoist_kout else 256 * dk)

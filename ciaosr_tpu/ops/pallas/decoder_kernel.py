@@ -261,8 +261,11 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
     ``assembly``: "halo" (default where eligible) assembles the shifted
     planes IN-KERNEL from three column-variant copies of one merged map
     (see _grid_decode_halo) instead of materializing nine shifted copies
-    of every plane family in HBM; "stacked" is the original 9-plane path
-    (also the fallback for non-hoisted wide-DK models and odd widths).
+    of every plane family in HBM; "stacked" is the original 9-plane path,
+    kept as the fallback for odd widths (W % 8 != 0) and as the halo
+    path's bit-parity oracle in tests. On halo the k-out hoist is
+    unconditional (wins at every measured DK, incl. wide-DK SwinIR);
+    on stacked it is gated to DK ≤ 1024.
     """
     from ciaosr_tpu.models.ciaosr import shift_offsets
 

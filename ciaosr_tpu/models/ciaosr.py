@@ -424,18 +424,42 @@ class CiaoSRNet(nn.Module):
                              f"H={h} qy={qy}, W={w} qx={qx}")
         th, tw = h * py // qy, w * px // qx
         nky, nkx = h // qy, w // qx
-        cdt = self.dtype or feature.dtype
         from ciaosr_tpu.ops.neighborhood import unfold_nhwc
         from ciaosr_tpu.ops.sampling import interpolate_bilinear
 
+        cdt = self.dtype or feature.dtype
         u_map = unfold_nhwc(feature) if self.feat_unfold else feature
         if self.non_local_attn:
             v_map = jnp.concatenate(
                 [u_map, self.cs_attn(feature, flash=True)], axis=-1)
         else:
             v_map = u_map
-        u_map = u_map.astype(cdt)
-        v_map = v_map.astype(cdt)
+        all_p = self._decode_rational_phases(
+            u_map.astype(cdt), v_map.astype(cdt), py, qy, px, qx,
+            phase_group)                           # (py·px,B,nky,nkx,3)
+
+        # pixel-shuffle assembly: out[py·k + a, px·m + bb] = phase(a,bb)[k,m]
+        all_p = all_p.reshape(py, px, b, nky, nkx, 3)
+        img = all_p.transpose(2, 3, 0, 4, 1, 5).reshape(b, th, tw, 3)
+        img = img + interpolate_bilinear(x.astype(jnp.float32), th, tw)
+        return img
+
+    def _decode_rational_phases(self, u_map: jnp.ndarray,
+                                v_map: jnp.ndarray, py: int, qy: int,
+                                px: int, qx: int, phase_group: int = 2,
+                                phases: Sequence[tuple] | None = None
+                                ) -> jnp.ndarray:
+        """XLA dense decode of a rational-scale PHASE SUBSET (default:
+        all py·px phases, row-major). Returns (n_phases, B, H/qy, W/qx, 3)
+        pre-residual phase images. The subset form serves the hybrid
+        fused/XLA composition (query_rgb_grid_rational_pallas): float32
+        tie phases that the fused kernel cannot fetch affinely decode
+        here."""
+        import numpy as np
+
+        b, h, w, _ = u_map.shape
+        th, tw = h * py // qy, w * px // qx
+        cdt = self.dtype or u_map.dtype
         dk = u_map.shape[-1]
         dv = v_map.shape[-1]
 
@@ -470,7 +494,8 @@ class CiaoSRNet(nn.Module):
 
         shifts = shift_offsets(self.local_size)
         n_shift = len(shifts)
-        phases = [(a, bb) for a in range(py) for bb in range(px)]
+        if phases is None:
+            phases = [(a, bb) for a in range(py) for bb in range(px)]
 
         out_phases = []
         for g0 in range(0, len(phases), phase_group):
@@ -510,10 +535,59 @@ class CiaoSRNet(nn.Module):
             rgb = self.imnet_q(outv.astype(cdt)).astype(jnp.float32)
             out_phases.append(rgb)                     # (Pg,B,nky,nkx,3)
 
-        # pixel-shuffle assembly: out[py·k + a, px·m + bb] = phase(a,bb)[k,m]
-        all_p = jnp.concatenate(out_phases, axis=0)    # (py·px,B,nky,nkx,3)
-        all_p = all_p.reshape(py, px, b, nky, nkx, 3)
-        img = all_p.transpose(2, 3, 0, 4, 1, 5).reshape(b, th, tw, 3)
+        return jnp.concatenate(out_phases, axis=0)     # (n_ph,B,nky,nkx,3)
+
+    def query_rgb_grid_rational_pallas(self, feature: jnp.ndarray,
+                                       x: jnp.ndarray, py: int, qy: int,
+                                       px: int, qx: int) -> jnp.ndarray:
+        """Rational-scale dense decode through the fused halo kernel
+        (ops/pallas/decoder_kernel.py grid_decode_fused_rational —
+        residue-grouped strided fetches), HYBRID-composed with the XLA
+        dense path for the float32 tie phases the kernel cannot fetch
+        affinely (every even-q scale has one tie row/column phase — e.g.
+        ×2.5's center phase; odd q is fully fused). Bit-equal phase
+        partition ⇒ same output as query_rgb_grid_rational. Gate with
+        decoder_kernel.rational_halo_supported before tracing."""
+        import jax
+        import numpy as np
+
+        from ciaosr_tpu.ops.neighborhood import unfold_nhwc
+        from ciaosr_tpu.ops.pallas.decoder_kernel import (
+            grid_decode_fused_rational, rational_phase_split)
+        from ciaosr_tpu.ops.sampling import interpolate_bilinear
+
+        b, h, w, _ = feature.shape
+        kh, kw = h // qy, w // qx
+        th, tw = kh * py, kw * px
+        cdt = self.dtype or feature.dtype
+        u_map = unfold_nhwc(feature) if self.feat_unfold else feature
+        csa_map = (self.cs_attn(feature, flash=True)
+                   if self.non_local_attn else None)
+        params = {"imnet_k": self.imnet_k.variables["params"],
+                  "imnet_v": self.imnet_v.variables["params"],
+                  "imnet_q": self.imnet_q.variables["params"]}
+        eligible, excluded = rational_phase_split(h, w, py, qy, px, qx,
+                                                  self.local_size)
+        fused = grid_decode_fused_rational(
+            u_map, csa_map, params, py, qy, px, qx,
+            local_size=self.local_size, softmax_scale=self.softmax_scale,
+            interpret=jax.default_backend() == "cpu")
+        parts = fused.reshape(b, len(eligible), kh, kw, 3).transpose(
+            1, 0, 2, 3, 4)                             # (n_e,B,kh,kw,3)
+        order = list(eligible)
+        if excluded:
+            v_map = u_map if csa_map is None else \
+                jnp.concatenate([u_map, csa_map], axis=-1)
+            xla_parts = self._decode_rational_phases(
+                u_map.astype(cdt), v_map.astype(cdt), py, qy, px, qx,
+                phase_group=2, phases=list(excluded))
+            parts = jnp.concatenate([parts, xla_parts], axis=0)
+            order += list(excluded)
+        # static permutation back to row-major (a, b) phase order
+        perm = np.argsort([a * px + bb for a, bb in order])
+        all_p = jnp.take(parts, jnp.asarray(perm), axis=0)
+        img = all_p.reshape(py, px, b, kh, kw, 3).transpose(
+            2, 3, 0, 4, 1, 5).reshape(b, th, tw, 3)
         img = img + interpolate_bilinear(x.astype(jnp.float32), th, tw)
         return img
 

@@ -9,12 +9,15 @@ query chunks via lax.map (SURVEY.md §5.7).
 
 from __future__ import annotations
 
+import logging
 from fractions import Fraction
 from typing import Any
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger("ciaosr_tpu.restorers")
 
 from ciaosr_tpu.config.registry import MODELS
 from ciaosr_tpu.core.coords import make_coord_cell
@@ -27,10 +30,23 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-# phase-count ceiling for dense rational-scale decoding: the phase loop
-# unrolls py·px·|shifts| branches into one XLA program, so pathological
-# ratios (e.g. 449/192) must fall back to the per-query gather path
+# phase-count ceiling for dense rational-scale decoding on the XLA path:
+# the phase loop unrolls py·px·|shifts| branches into one XLA program, so
+# pathological ratios (e.g. 449/192) must fall back to the per-query
+# gather path. The fused Pallas path grids over phases instead of
+# unrolling, so its ceiling is far higher (SMEM table size only).
 _MAX_GRID_PHASES = 128
+_MAX_PALLAS_PHASES = 4096
+
+
+def _rational_pallas_ok(gen, h: int, w: int, py: int, qy: int,
+                        px: int, qx: int) -> bool:
+    """Host-side gate: can this rational decode ride the fused halo
+    kernel? (generator opted into Pallas + geometry expressible)."""
+    from ciaosr_tpu.ops.pallas.decoder_kernel import rational_halo_supported
+    return (gen.use_pallas and py * px <= _MAX_PALLAS_PHASES
+            and rational_halo_supported(h, w, py, qy, px, qx,
+                                        gen.local_size))
 
 
 def as_scale_fraction(s) -> Fraction:
@@ -165,21 +181,34 @@ class CiaoSRRestorer:
 
     def _grid_rational_fn(self, h: int, w: int, py: int, qy: int,
                           px: int, qx: int):
-        """Compiled dense-grid predictor for rational scales py/qy × px/qx
-        (query_rgb_grid_rational — XLA path; integer scales keep their own
-        Pallas-capable program via _grid_fn)."""
+        """Compiled dense-grid predictor for rational scales py/qy × px/qx.
+        Pallas generators route through the fused halo kernel
+        (query_rgb_grid_rational_pallas) when the geometry is expressible
+        (decoder_kernel.rational_halo_supported); otherwise the XLA dense
+        path (query_rgb_grid_rational) runs — with a log line so sharded
+        or perf-sensitive callers can see the fused path was skipped."""
         key = ("gridr", h, w, py, qy, px, qx)
         if key not in self._jit_cache:
             gen = self.generator
+            use_pallas = _rational_pallas_ok(gen, h, w, py, qy, px, qx)
+            if gen.use_pallas and not use_pallas:
+                logger.warning(
+                    "rational decode %d/%d x %d/%d at %dx%d: geometry not "
+                    "expressible for the fused halo kernel - falling back "
+                    "to the XLA dense path", py, qy, px, qx, h, w)
 
             @jax.jit
             def run(params, lq):
                 lq_n = (lq - self.rgb_mean) / self.rgb_std
                 feature = gen.apply(params, lq_n, gen.use_pallas,
                                     method="gen_feature")
-                pg = 2 if lq.shape[0] <= 2 else 1
-                img = gen.apply(params, feature, lq_n, py, qy, px, qx, pg,
-                                method="query_rgb_grid_rational")
+                if use_pallas:
+                    img = gen.apply(params, feature, lq_n, py, qy, px, qx,
+                                    method="query_rgb_grid_rational_pallas")
+                else:
+                    pg = 2 if lq.shape[0] <= 2 else 1
+                    img = gen.apply(params, feature, lq_n, py, qy, px, qx,
+                                    pg, method="query_rgb_grid_rational")
                 img = img * self.rgb_std + self.rgb_mean
                 return jnp.clip(img, 0.0, 1.0)
 
@@ -203,12 +232,23 @@ class CiaoSRRestorer:
             out = fn(params, jnp.asarray(lq[None]))
             return np.asarray(out[0])
         sy, sx = Fraction(th, h_), Fraction(tw, w_)
-        if sy >= 1 and sx >= 1 \
-                and sy.numerator * sx.numerator <= _MAX_GRID_PHASES:
-            fn = self._grid_rational_fn(h_, w_, sy.numerator, sy.denominator,
-                                        sx.numerator, sx.denominator)
-            out = fn(params, jnp.asarray(lq[None]))
-            return np.asarray(out[0])
+        if sy >= 1 and sx >= 1:
+            n_ph = sy.numerator * sx.numerator
+            if (n_ph <= _MAX_GRID_PHASES
+                    or _rational_pallas_ok(self.generator, h_, w_,
+                                           sy.numerator, sy.denominator,
+                                           sx.numerator, sx.denominator)):
+                fn = self._grid_rational_fn(
+                    h_, w_, sy.numerator, sy.denominator,
+                    sx.numerator, sx.denominator)
+                out = fn(params, jnp.asarray(lq[None]))
+                return np.asarray(out[0])
+            logger.warning(
+                "rational target %dx%d from %dx%d needs %d dense phases "
+                "(> %d) and is not fused-expressible - falling back to "
+                "the per-query gather path (~16x slower); prefer tiled "
+                "eval (test_cfg.tile) or a q-friendly target size",
+                th, tw, h_, w_, n_ph, _MAX_GRID_PHASES)
         q = th * tw
         chunk = min(self.eval_bsize or q, q)
         q_pad = _ceil_to(q, chunk)
@@ -247,12 +287,19 @@ class CiaoSRRestorer:
             gen = self.generator
             out_t = tile * p // q
 
+            rational_pallas = (allow_pallas and q > 1
+                               and _rational_pallas_ok(gen, tile, tile,
+                                                       p, q, p, q))
+
             def decode(params, lq_tiles):
                 lq_n = (lq_tiles - self.rgb_mean) / self.rgb_std
                 feature = gen.apply(params, lq_n,
                                     gen.use_pallas and allow_pallas,
                                     method="gen_feature")
-                if q > 1:
+                if rational_pallas:
+                    img = gen.apply(params, feature, lq_n, p, q, p, q,
+                                    method="query_rgb_grid_rational_pallas")
+                elif q > 1:
                     pg = 2 if lq_tiles.shape[0] <= 2 else 1
                     img = gen.apply(params, feature, lq_n, p, q, p, q, pg,
                                     method="query_rgb_grid_rational")
@@ -365,13 +412,22 @@ class CiaoSRRestorer:
             acc = jax.device_put(acc, repl)
             cnt = jax.device_put(cnt, repl)
 
-        # integer-scale tiles ride the dense-grid fast path, batched; one
-        # jitted call per group does decode + on-device overlap-add.
-        # Under a mesh the decode runs in shard_map over the tile axis,
-        # which makes the fused Pallas kernels legal per shard — only
-        # rational scales (XLA decode, auto-partitionable) and
-        # non-Pallas generators skip it
-        use_shmap = mesh is not None and self.generator.use_pallas and q == 1
+        # tiles ride the dense-grid fast path, batched; one jitted call
+        # per group does decode + on-device overlap-add. Under a mesh the
+        # decode runs in shard_map over the tile axis, which makes the
+        # fused Pallas kernels legal per shard (per-shard shapes are
+        # concrete) — integer scales AND fused-expressible rational
+        # scales both qualify; only non-Pallas generators and
+        # non-expressible rational geometries (XLA decode,
+        # auto-partitionable) skip it
+        use_shmap = mesh is not None and self.generator.use_pallas and (
+            q == 1 or _rational_pallas_ok(self.generator, tile, tile,
+                                          p, q, p, q))
+        if mesh is not None and self.generator.use_pallas and not use_shmap:
+            logger.warning(
+                "sharded tiled eval at scale %d/%d tile %d: rational "
+                "geometry not expressible for the fused halo kernel - "
+                "decoding via the auto-partitioned XLA path", p, q, tile)
         group_fn = self._tiled_group_fn(
             tile, scale,
             allow_pallas=(mesh is None) or use_shmap,

@@ -215,11 +215,14 @@ def _pack_weights(mlp_params, prefix, main_dim, cell_val, n_hidden,
     if with_rc:
         # w0 (the feature block) is NOT packed: its matmul is hoisted out
         # of the kernel (see grid_decode_fused); only the rel rows and the
-        # cell-folded bias enter VMEM.
+        # cell-folded bias enter VMEM. cell_val is (cell_y, cell_x) —
+        # anisotropic rational scales fold per-axis cell constants.
         _, wry, wrx, wcy, wcx, b0 = _split_first_layer(mlp_params, main_dim)
+        c_y, c_x = (cell_val if isinstance(cell_val, tuple)
+                    else (cell_val, cell_val))
         out[f"{prefix}_wrely"] = wry
         out[f"{prefix}_wrelx"] = wrx
-        out[f"{prefix}_b0"] = b0 + cell_val * (wcy + wcx)
+        out[f"{prefix}_b0"] = b0 + c_y * wcy + c_x * wcx
     else:
         out[f"{prefix}_w0"] = mlp_params["layers_0"]["kernel"].astype(
             jnp.bfloat16)
@@ -247,7 +250,8 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
                       softmax_scale: float, rows: int = 4,
                       interpret: bool = False,
                       hoist_kout: bool | None = None,
-                      assembly: str | None = None) -> jnp.ndarray:
+                      assembly: str | None = None,
+                      phase_inner: bool | None = None) -> jnp.ndarray:
     """Run the fused decoder over all phases.
 
     u_map: (B,H,W,DK) unfolded features (bf16 ok); csa_map: optional
@@ -266,6 +270,12 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
     path's bit-parity oracle in tests. On halo the k-out hoist is
     unconditional (wins at every measured DK, incl. wide-DK SwinIR);
     on stacked it is gated to DK ≤ 1024.
+
+    ``phase_inner`` (halo only): make phase the innermost grid dim with
+    shift-monotone phase ordering so Mosaic elides repeated window
+    fetches (see _grid_decode_halo); None auto-enables it for wide
+    merged maps (lanes > 1536, i.e. SwinIR-class models) where the
+    kernel is read-bound.
     """
     from ciaosr_tpu.models.ciaosr import shift_offsets
 
@@ -293,7 +303,10 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
             raise ValueError("halo assembly needs W % 8 == 0 and H > 1")
         return _grid_decode_halo(u_map, csa_map, params, s, shifts,
                                  n_hidden, cell_val, softmax_scale,
-                                 interpret, hoist_kout)
+                                 interpret, hoist_kout,
+                                 phase_inner=phase_inner)
+    if phase_inner:
+        raise ValueError("phase_inner grid order is a halo-assembly mode")
 
     u9 = _shift_planes(u_map.astype(jnp.bfloat16))
     c9 = _shift_planes(csa_map.astype(jnp.bfloat16)) if dc else None
@@ -818,19 +831,278 @@ def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, q_ref,
     out_ref[0] = rgb[:, :8].reshape(rows, width, 8)
 
 
+# ---------------------------------------------------------------------------
+# Rational-scale extension (round 4): residue-grouped halo fetches.
+#
+# For a rational scale p/q (lowest terms, q | H), HR phase a covers HR
+# rows {a, a+p, ...}, which sample LR rows m_a + q·k for a constant base
+# m_a ∈ [0, q) — a STRIDE-q row gather instead of the integer case's
+# shift. Strided fetches are not expressible as Pallas block windows,
+# but a stride-q slice IS a contiguous window of the residue-grouped
+# map: reorder rows as q groups of H/q (group r holds LR rows r, r+q,
+# ...), each padded with one edge-clamp row top and bottom, and the
+# shifted strided fetch for base t = m_a + dy becomes group (t mod q) at
+# element row start (1 + (t − group)/q) — exactly the integer halo's
+# {0,1,2} row offsets, one group up or down at the residue wrap.
+# Columns get the same treatment at BUILD time (sublane starts must be
+# 8-aligned, so the kernel fetches whole kw-wide residue segments at
+# sublane start r·kw): the three ±1 column-shift variants are baked in
+# ORIGINAL column space by _build_f3p, then permuted residue-major, so
+# variant (dxv, residue r) holds clamp(qx·j + r + dxv − 1) — any shifted
+# strided column fetch. The hoisted wt/ck planes are phase-independent
+# per-pixel products (w̃(dy,dx)[y,x] = (u[y,x]⊙u[clamp(y+dy),
+# clamp(x+dx)])@W_kout), so they are built on the original layout and
+# permuted residue-major too, fetched at the QUERY's strided positions.
+#
+# Float32 rounding at nearest-neighbor ties can break the affine form
+# m_a + q·k at individual rows; _rational_tables verifies every index
+# vector of the float32-emulating host tables (_grid_axis_tables)
+# against the affine+clamp form and returns None on any deviation —
+# callers then fall back to the XLA rational path. Reference semantics:
+# arbitrary target sizes via per-query decoding
+# (mmedited/models/restorers/ciaosr.py:240-243); the reference has no
+# dense or fused path at any scale.
+# ---------------------------------------------------------------------------
+
+
+def _axis_decomp(n, tn, p, q, local_size):
+    """Decompose one axis's host tables into affine strided-fetch form,
+    PER PHASE.
+
+    Returns (ok (p,) bool, mq (p,) int64 query bases, {sign: (ts (p,)
+    int64 shifted bases, rel (p, n/q) float32 rel rows)}) — phase a is ok
+    when its query indices equal mq[a] + q·k and every sign's indices
+    equal clip(ts + q·k, 0, n−1) with |ts − mq[a]| ≤ 1.
+
+    Phases can FAIL the affine form: a scale whose HR pixel centers land
+    exactly between two LR pixels (every even-q scale has one such phase,
+    e.g. ×2.5 phase a=2) resolves the tie per-row from float32 rounding
+    noise — an irregular ±1 pattern no strided window can fetch. Those
+    phases decode via the XLA dense path instead (hybrid composition in
+    query_rgb_grid_rational_pallas); the shifted samples carry a +1e-6
+    tie-break epsilon (ciaosr_net.py:159-173) and stay affine."""
+    from ciaosr_tpu.models.ciaosr import _grid_axis_tables
+
+    tab = _grid_axis_tables(n, tn, p, local_size)
+    nk = n // q
+    base = q * np.arange(nk, dtype=np.int64)
+    ok = np.ones(p, bool)
+    mq = np.zeros(p, np.int64)
+    for a in range(p):
+        m0 = int(tab["q"][a][0])
+        if 0 <= m0 < q and np.array_equal(tab["q"][a], m0 + base):
+            mq[a] = m0
+        else:
+            ok[a] = False
+    out = {}
+    for sign, (idxs, rels) in ((k, v) for k, v in tab.items() if k != "q"):
+        ts = np.zeros(p, np.int64)
+        rel = np.zeros((p, nk), np.float32)
+        for a in range(p):
+            rel[a] = np.asarray(rels[a], np.float32)
+            if not ok[a]:
+                continue
+            for cand in (mq[a] - 1, mq[a], mq[a] + 1):
+                if np.array_equal(idxs[a],
+                                  np.clip(cand + base, 0, n - 1)):
+                    ts[a] = cand
+                    break
+            else:
+                ok[a] = False
+        out[sign] = (ts, rel)
+    return ok, mq, out
+
+
+@functools.lru_cache(maxsize=64)
+def _rational_tables(h, w, py, qy, px, qx, local_size):
+    """Per-(phase, shift) fetch descriptors for the residue-grouped halo
+    decode at rational scale (py/qy, px/qx), restricted to the
+    fused-ELIGIBLE phases (affine per-axis tables, _axis_decomp), or
+    None when no phase is eligible. ``phase_ids``/``excluded`` partition
+    the py·px phase set — excluded phases (float32 tie rows) decode via
+    the XLA dense path. All entries host numpy."""
+    from ciaosr_tpu.models.ciaosr import shift_offsets
+
+    shifts = shift_offsets(local_size)
+    oky, mqy, ytab = _axis_decomp(h, h * py // qy, py, qy, local_size)
+    okx, mqx, xtab = _axis_decomp(w, w * px // qx, px, qx, local_size)
+    kh, kw = h // qy, w // qx
+    all_phases = [(a, b) for a in range(py) for b in range(px)]
+
+    def shift_ok(a, b):
+        for vy, vx in shifts:
+            ty = int(ytab[int(np.sign(vy))][0][a])
+            tx = int(xtab[int(np.sign(vx))][0][b])
+            if abs(ty - int(mqy[a])) > 1 or abs(tx - int(mqx[b])) > 1 \
+                    or not (-1 <= tx <= qx):
+                return False
+        return True
+
+    eligible = [(a, b) for a, b in all_phases
+                if oky[a] and okx[b] and shift_ok(a, b)]
+    excluded = [p for p in all_phases if p not in set(eligible)]
+    if not eligible:
+        return None
+
+    n_e, n_s = len(eligible), len(shifts)
+    cv = np.zeros((n_e, n_s), np.int32)
+    row_base = np.zeros((n_e, n_s), np.int32)
+    wt_plane = np.zeros((n_e, n_s), np.int32)
+    col_start = np.zeros((n_e, n_s), np.int32)
+    rely = np.zeros((n_e, n_s, kh), np.float32)
+    relx = np.zeros((n_e, n_s, kw), np.float32)
+    ma = np.zeros(n_e, np.int32)
+    mb = np.zeros(n_e, np.int32)
+    for pidx, (a, b) in enumerate(eligible):
+        ma[pidx], mb[pidx] = mqy[a], mqx[b]
+        for si, (vy, vx) in enumerate(shifts):
+            tsy, ry = ytab[int(np.sign(vy))]
+            tsx, rx = xtab[int(np.sign(vx))]
+            ty, tx = int(tsy[a]), int(tsx[b])
+            dy, dx = ty - int(mqy[a]), tx - int(mqx[b])
+            g = ty % qy
+            row_base[pidx, si] = g * (kh + 2) + 1 + (ty - g) // qy
+            if 0 <= tx < qx:
+                rxr, dxv = tx, 1
+            elif tx == -1:
+                rxr, dxv = 0, 0
+            else:                        # tx == qx
+                rxr, dxv = qx - 1, 2
+            cv[pidx, si] = dxv
+            col_start[pidx, si] = rxr    # column RESIDUE; index maps
+            # multiply by kw (a static multiple of 8) so Mosaic can prove
+            # the sublane start 8-aligned — a raw SMEM scalar cannot be
+            wt_plane[pidx, si] = (dy + 1) * 3 + (dx + 1)
+            rely[pidx, si] = ry[a]
+            relx[pidx, si] = rx[b]
+    return dict(cv=cv, row_base=row_base, wt_plane=wt_plane,
+                col_start=col_start, rely=rely, relx=relx, ma=ma, mb=mb,
+                phase_ids=tuple(eligible), excluded=tuple(excluded))
+
+
+def rational_phase_split(h, w, py, qy, px, qx, local_size=2):
+    """(eligible, excluded) phase-id partition for the hybrid rational
+    decode — eligible phases ride the fused kernel, excluded ones (tie
+    phases) the XLA dense path. Host-only, cached."""
+    tabs = _rational_tables(h, w, py, qy, px, qx, local_size)
+    if tabs is None:
+        all_p = tuple((a, b) for a in range(py) for b in range(px))
+        return (), all_p
+    return tabs["phase_ids"], tabs["excluded"]
+
+
+def rational_halo_supported(h, w, py, qy, px, qx, local_size=2) -> bool:
+    """True when grid_decode_fused_rational can fuse this geometry (host
+    check — no tracing): constraints hold and at least a quarter of the
+    phases are fused-eligible (the rest decode via the XLA dense path;
+    even-q scales structurally exclude their tie row+column phases —
+    (2p−1)/p², e.g. 5/9 at ×1.5 — and the hybrid still wins at f=1/4:
+    cost ≈ 1 − 0.65·f of XLA-only). Integer scales should use
+    grid_decode_fused."""
+    if qy == 1 and qx == 1:
+        return False
+    if h % qy or w % qx or py < qy or px < qx:
+        return False
+    kh, kw = h // qy, w // qx
+    if w % 8 or kw % 8 or kh < 2:
+        return False
+    tabs = _rational_tables(h, w, py, qy, px, qx, local_size)
+    return tabs is not None and \
+        len(tabs["phase_ids"]) * 4 >= py * px
+
+
+def grid_decode_fused_rational(u_map: jnp.ndarray,
+                               csa_map: jnp.ndarray | None, params: dict,
+                               py: int, qy: int, px: int, qx: int,
+                               local_size: int, softmax_scale: float,
+                               interpret: bool = False,
+                               hoist_kout: bool = True,
+                               phase_inner: bool | None = None
+                               ) -> jnp.ndarray:
+    """Fused dense decode at rational scale (py/qy, px/qx): the halo
+    kernel over residue-grouped fetches (section comment above), for the
+    fused-ELIGIBLE phases only. Returns (B·n_eligible, H/qy, W/qx, 3)
+    phase images, image-major, in rational_phase_split() order —
+    phase (a,b) covers HR pixels [py·k + a, px·j + b]. Tie phases
+    (rational_phase_split()[1]) must be decoded via the XLA dense path
+    and composed by the caller (query_rgb_grid_rational_pallas). Gate
+    with rational_halo_supported() first; raises ValueError on
+    unsupported geometries."""
+    from ciaosr_tpu.models.ciaosr import shift_offsets
+
+    bsz, h, w, dk = u_map.shape
+    if not rational_halo_supported(h, w, py, qy, px, qx, local_size):
+        raise ValueError(
+            f"rational halo decode unsupported for H={h} W={w} "
+            f"scale=({py}/{qy}, {px}/{qx}) (need q|size, W%8==0, "
+            f"(W/qx)%8==0, H/qy>=2, affine-expressible tables)")
+    n_hidden = len([k for k in params["imnet_k"] if k.startswith("layers")])
+    th, tw = (h // qy) * py, (w // qx) * px
+    cell = (float(np.float32(2.0) / np.float32(th)) * h,
+            float(np.float32(2.0) / np.float32(tw)) * w)
+    return _grid_decode_halo(u_map, csa_map, params, None,
+                             shift_offsets(local_size), n_hidden, cell,
+                             softmax_scale, interpret, hoist_kout,
+                             phase_inner=phase_inner,
+                             rational=(py, qy, px, qx),
+                             local_size=local_size)
+
+
+def _residue_rows_index(h, qy, kh):
+    """Row-gather indices turning the (H+2)-row edge-padded map into qy
+    residue groups of (kh+2) rows each (pad, r, r+qy, ..., pad)."""
+    idx = []
+    for g in range(qy):
+        idx.append(0)
+        idx.extend(1 + g + qy * k for k in range(kh))
+        idx.append(h + 1)
+    return np.asarray(idx, np.int64)
+
+
+def _residue_cols(t, kw, qx, axis):
+    """Permute an axis of length qx·kw to residue-major order."""
+    if qx == 1:
+        return t
+    shape = t.shape
+    split = shape[:axis] + (kw, qx) + shape[axis + 1:]
+    perm = list(range(len(split)))
+    perm[axis], perm[axis + 1] = axis + 1, axis
+    return t.reshape(split).transpose(perm).reshape(shape)
+
+
+def _residue_rows_nopad(t, kh, qy, axis):
+    """Permute an axis of length qy·kh to residue-major (no pad rows)."""
+    if qy == 1:
+        return t
+    shape = t.shape
+    split = shape[:axis] + (kh, qy) + shape[axis + 1:]
+    perm = list(range(len(split)))
+    perm[axis], perm[axis + 1] = axis + 1, axis
+    return t.reshape(split).transpose(perm).reshape(shape)
+
+
 def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
                       cell_val, softmax_scale, interpret, hoist_kout,
-                      phase_inner=None):
+                      phase_inner=None, rational=None, local_size=2):
     """grid_decode_fused with halo-fetched shift planes (see the section
     comment above): ~3× less glue HBM traffic than the stacked path —
     three column variants of one merged plane replace four 9-plane
     stacks, and _wt_hoist_planes replaces the u9/q_rep/qk9 chain (the
     non-hoisted wide-DK case instead adds one unshifted query window and
-    runs the k-out layer in-kernel)."""
+    runs the k-out layer in-kernel). With ``rational=(py,qy,px,qx)`` the
+    same kernel decodes rational scales over residue-grouped fetches
+    (rational section comment); the kernel body is identical — only the
+    host tables, the map permutations, and the index maps change."""
     bsz, h, w, dk = u_map.shape
     dc = 0 if csa_map is None else csa_map.shape[-1]
     dv = dk + dc
     n_shift = len(shifts)
+    if rational is not None:
+        py, qy, px, qx = rational
+        kh, kw = h // qy, w // qx
+    else:
+        qy = qx = 1
+        kh, kw = h, w
 
     # merged map, fused build: first-layer feature matmuls + lane-pad +
     # segment concat [g_k | g_v | CSA | u] + 3 edge-clamped column
@@ -859,27 +1131,73 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
         wt9, ck9 = _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u, h, w,
                                     bsz, h_last, interpret)
 
-    dys, dxs, rely, relx = _phase_tables(s, h, w, shifts)
-    n_phase = dys.shape[0]
-    # sel columns: [column variant dx+1, row offset dy+1, wt plane index,
-    # output phase row]
-    sel = np.stack([dxs + 1, dys + 1, (dys + 1) * 3 + (dxs + 1),
-                    np.broadcast_to(np.arange(n_phase)[:, None],
-                                    dxs.shape)], axis=-1).astype(np.int32)
+    if rational is not None:
+        # residue-major permutations (rational section comment): f3p rows
+        # regroup into qy edge-padded groups of kh, columns into qx
+        # groups of kw; wt/ck planes (built on the original layout —
+        # their (dy,dx) products need ORIGINAL adjacency) permute the
+        # same way without pads (query fetches never clamp)
+        ridx = _residue_rows_index(h, qy, kh)
+        f3p = jnp.take(f3p, jnp.asarray(ridx), axis=2)
+        f3p = _residue_cols(f3p, kw, qx, axis=3)
+        if hoist_kout:
+            wt9 = _residue_cols(_residue_rows_nopad(wt9, kh, qy, 1),
+                                kw, qx, 2)
+            ck9 = _residue_cols(_residue_rows_nopad(ck9, kh, qy, 1),
+                                kw, qx, 2)
+        tabs = _rational_tables(h, w, py, qy, px, qx, local_size)
+        cvs, row_base = tabs["cv"], tabs["row_base"]
+        wt_plane, col_start = tabs["wt_plane"], tabs["col_start"]
+        rely, relx = tabs["rely"], tabs["relx"]
+        ma, mb = tabs["ma"], tabs["mb"]
+        n_phase = cvs.shape[0]
+    else:
+        dys, dxs, rely, relx = _phase_tables(s, h, w, shifts)
+        n_phase = dys.shape[0]
+        cvs = (dxs + 1).astype(np.int32)
+        row_base = (dys + 1).astype(np.int32)
+        wt_plane = ((dys + 1) * 3 + (dxs + 1)).astype(np.int32)
+        col_start = np.zeros_like(cvs)
+        ma = np.zeros(n_phase, np.int32)
+        mb = np.zeros(n_phase, np.int32)
+
+    # single-DMA shifts remove the stacked path's small-block pressure;
+    # taller blocks win here (22.4 vs 22.7 ms at 192² — fewer grid steps,
+    # same exact reads), so the caller's stacked-path `rows` tuning is
+    # ignored; wide-DK models instead need SHORT blocks — at 2944 lanes,
+    # rows=4 starves VMEM double-buffering (halo ≈ stacked; rows=2:
+    # 53.0 → 46.0 ms; rows=1 regresses to 48.0, DMA-count-bound)
+    rmax = 8 if lanes <= 1536 else 2
+    rows = max(r for r in range(1, min(rmax, kh) + 1) if kh % r == 0)
+    n_blocks = kh // rows
+
+    # sel columns: [0 column variant, 1 row base (group·(kh+2) + offset;
+    # integer: dy+1), 2 wt plane index, 3 output phase row, 4 column
+    # residue (sublane start = residue·kw; integer 0), 5 query row base,
+    # 6 query column residue, 7 wt row-block base, 8 wt column block]
+    sel = np.concatenate([
+        np.stack([cvs, row_base, wt_plane,
+                  np.broadcast_to(np.arange(n_phase)[:, None], cvs.shape),
+                  col_start], axis=-1),
+        np.broadcast_to(
+            np.stack([ma * (kh + 2) + 1, mb, ma * kh // rows, mb],
+                     axis=-1)[:, None, :], cvs.shape + (4,)),
+    ], axis=-1).astype(np.int32)
 
     if phase_inner is None:
         phase_inner = lanes > 1536
     if phase_inner:
         # phase-INNER grid: consecutive phases at a fixed row block hit
-        # the same (dy, dx) windows most of the time, and the Mosaic
+        # the same fetch windows most of the time, and the Mosaic
         # pipeline elides the copy when a block's index-map output is
         # unchanged from the previous step. Order phases so each shift's
-        # (dy, dx) pair is piecewise-constant (dy depends only on the
-        # y-phase, dx only on the x-phase → lex sort groups both); the
-        # true output row rides in sel col 3. Wins only where the kernel
-        # is read-bound (wide-DK models — the DK-lane u segment dominates)
+        # (row base, column variant/start) is piecewise-constant (the
+        # row base depends only on the y-phase, the column terms only on
+        # the x-phase → lex sort groups both); the true output row rides
+        # in sel col 3. Wins only where the kernel is read-bound
+        # (wide-DK models — the DK-lane u segment dominates)
         order = sorted(range(n_phase), key=lambda p: (
-            tuple(dys[p]), tuple(dxs[p])))
+            tuple(row_base[p]), tuple(cvs[p]), tuple(col_start[p])))
         sel = sel[order]
         rely = rely[order]
         relx = relx[order]
@@ -912,16 +1230,6 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
         weights["q_w0b"] = q_w0[dk:]
     w_names = sorted(weights)
 
-    # single-DMA shifts remove the stacked path's small-block pressure;
-    # taller blocks win here (22.4 vs 22.7 ms at 192² — fewer grid steps,
-    # same exact reads), so the caller's stacked-path `rows` tuning is
-    # ignored; wide-DK models instead need SHORT blocks — at 2944 lanes,
-    # rows=4 starves VMEM double-buffering (halo ≈ stacked; rows=2:
-    # 53.0 → 46.0 ms; rows=1 regresses to 48.0, DMA-count-bound)
-    rmax = 8 if lanes <= 1536 else 2
-    rows = max(r for r in range(1, min(rmax, h) + 1) if h % r == 0)
-    n_blocks = h // rows
-
     from jax._src.pallas.core import Element
 
     def pmap_(f):
@@ -931,43 +1239,53 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
             return lambda b, i, p, sref: f(b, p, i, sref)
         return f
 
+    # column sublane starts: literal 0 on the integer path; residue·kw on
+    # the rational path — the multiplication by kw (a static multiple of
+    # 8) happens IN the index map so Mosaic can prove the start 8-aligned
+    # (a raw SMEM scalar fails the tiling-divisibility check)
     def main_spec(si):
-        # all-Element block dims (Mosaic constraint); only the row start
-        # is a true element offset
+        # all-Element block dims (Mosaic constraint); the row start is a
+        # true element offset
         return pl.BlockSpec((Element(1), Element(1), Element(rows),
-                             Element(w), Element(lanes)),
+                             Element(kw), Element(lanes)),
                             pmap_(lambda b, p, i, sref, s_=si:
                                   (b, sref[p, s_, 0],
-                                   i * rows + sref[p, s_, 1], 0, 0)))
+                                   i * rows + sref[p, s_, 1],
+                                   0 if qx == 1 else sref[p, s_, 4] * kw,
+                                   0)))
 
-    # the unshifted query window (non-hoist only): column variant 1,
-    # row offset +1 — i.e. the identity shift of the u segment
+    # the unshifted query window (non-hoist only): column variant 1 at
+    # the query's row/column base — the identity shift of the u segment
     q_spec = pl.BlockSpec((Element(1), Element(1), Element(rows),
-                           Element(w), Element(a128(dk))),
+                           Element(kw), Element(a128(dk))),
                           pmap_(lambda b, p, i, sref:
-                                (b, 1, i * rows + 1, 0, o_u)))
+                                (b, 1, i * rows + sref[p, 0, 5],
+                                 0 if qx == 1 else sref[p, 0, 6] * kw,
+                                 o_u)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=((bsz, n_blocks, n_phase) if phase_inner
               else (bsz, n_phase, n_blocks)),
         in_specs=[
             *[main_spec(si) for si in range(n_shift)],
-            *([pl.BlockSpec((1, rows, w, h_last),
+            *([pl.BlockSpec((1, rows, kw, h_last),
                             pmap_(lambda b, p, i, sref, s_=si:
-                                  (b * 9 + sref[p, s_, 2], i, 0, 0)))
+                                  (b * 9 + sref[p, s_, 2],
+                                   sref[p, 0, 7] + i, sref[p, 0, 8], 0)))
                for si in range(n_shift)]
-              + [pl.BlockSpec((1, rows, w, 8),
+              + [pl.BlockSpec((1, rows, kw, 8),
                               pmap_(lambda b, p, i, sref, s_=si:
-                                    (b * 9 + sref[p, s_, 2], i, 0, 0)))
+                                    (b * 9 + sref[p, s_, 2],
+                                     sref[p, 0, 7] + i, sref[p, 0, 8], 0)))
                  for si in range(n_shift)]
               if hoist_kout else [q_spec]),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rely (P,S,H)
-            pl.BlockSpec((1, n_shift, w),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rely (P,S,kh)
+            pl.BlockSpec((1, n_shift, kw),
                          pmap_(lambda b, p, i, sref: (p, 0, 0))),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w_names],
         ],
         out_specs=pl.BlockSpec(
-            (1, rows, w, 8),
+            (1, rows, kw, 8),
             pmap_(lambda b, p, i, sref:
                   (b * n_phase + sref[p, 0, 3], i, 0, 0))),
     )
@@ -992,7 +1310,7 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
                             rely_ref, relx_ref, w_refs, out_ref,
                             n_shift=n_shift, n_hidden=n_hidden,
                             softmax_scale=softmax_scale, rows=rows,
-                            width=w, dk=dk, dc=dc, hk_p=hk_p, hv_p=hv_p,
+                            width=kw, dk=dk, dc=dc, hk_p=hk_p, hv_p=hv_p,
                             hoist_kout=hoist_kout, phase_inner=phase_inner)
 
     mlp_flops = ((n_hidden - 1) * 256 * 256
@@ -1000,16 +1318,16 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
                  + (n_hidden - 1) * 256 * 256 + 256 * (dk + dc))
     halo_lanes = lanes + ((h_last + 8) if hoist_kout else a128(dk))
     cost = pl.CostEstimate(
-        flops=2 * bsz * n_phase * h * w * (n_shift * mlp_flops
-                                           + (dk + dc) * 256
-                                           + (n_hidden - 1) * 65536),
-        bytes_accessed=bsz * n_phase * h * w * halo_lanes * n_shift * 2,
-        transcendentals=bsz * n_phase * h * w * n_shift)
+        flops=2 * bsz * n_phase * kh * kw * (n_shift * mlp_flops
+                                             + (dk + dc) * 256
+                                             + (n_hidden - 1) * 65536),
+        bytes_accessed=bsz * n_phase * kh * kw * halo_lanes * n_shift * 2,
+        transcendentals=bsz * n_phase * kh * kw * n_shift)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz * n_phase, h, w, 8),
+        out_shape=jax.ShapeDtypeStruct((bsz * n_phase, kh, kw, 8),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,

@@ -8,6 +8,11 @@ its bf16 weight storage (the XLA reference path here runs f32).
 import numpy as np
 import pytest
 
+# interpret-mode kernel matrices are compile-heavy (~15-40 s each); the
+# fast lane keeps only library-level smoke coverage (round-3 verdict:
+# fast lane ≤ 2-3 min measured, not claimed)
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -108,6 +113,48 @@ def test_halo_assembly_matches_grid_path(rng, scale, non_local, batch,
                             hoist_kout=hoist)
     np.testing.assert_allclose(np.asarray(phases), np.asarray(ph2),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("scale,hoist", [(3, True), (3, False), (4, True)])
+def test_halo_phase_inner_matches_phase_outer(rng, scale, hoist):
+    """The phase-inner grid permutation (decoder_kernel.py
+    _grid_decode_halo phase_inner=True — the order production wide-DK
+    SwinIR models auto-take via the lanes > 1536 gate) must be
+    BIT-identical to the phase-outer order: it only reorders grid steps
+    and re-sorts the sel/rely/relx tables, never the math. Also checked
+    against the XLA grid path so a consistent-but-wrong permutation of
+    both orders cannot pass."""
+    net = build_generator(dict(
+        type="LocalImplicitSRRDN",
+        encoder=dict(type="RDN", in_channels=3, mid_channels=16,
+                     num_blocks=2, num_layers=3, channel_growth=8),
+        imnet_q=dict(type="MLPRefiner", out_dim=3, hidden_list=[32, 32]),
+        imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[32, 32]),
+        imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[32, 32]),
+        non_local_attn=True))
+    x = jnp.asarray(rng.random((2, 8, 16, 3), dtype=np.float32))
+    params = net.init(jax.random.PRNGKey(0), x, jnp.zeros((2, 8, 2)),
+                      jnp.full((2, 8, 2), 0.1))
+    feat = net.apply(params, x, method="gen_feature")
+    u = unfold_nhwc(feat)
+    csa = CrossScaleAttention(channels=16, scales=(2,))
+    csa_map = csa.apply({"params": params["params"]["cs_attn"]}, feat)
+
+    kw = dict(scale=scale, local_size=2, softmax_scale=1.0, rows=2,
+              interpret=True, assembly="halo", hoist_kout=hoist)
+    inner = grid_decode_fused(u, csa_map, params["params"],
+                              phase_inner=True, **kw)
+    outer = grid_decode_fused(u, csa_map, params["params"],
+                              phase_inner=False, **kw)
+    np.testing.assert_array_equal(np.asarray(inner), np.asarray(outer))
+
+    ref = net.apply(params, feat, x, scale, method="query_rgb_grid")
+    h, w = 8, 16
+    img = inner.reshape(2, scale, scale, h, w, 3).transpose(
+        0, 3, 1, 4, 2, 5).reshape(2, scale * h, scale * w, 3)
+    img = img + interpolate_bilinear(x, scale * h, scale * w)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                               atol=2e-3, rtol=1e-2)
 
 
 def test_restorer_pallas_routing(rng):

@@ -76,8 +76,14 @@ def main():
                         " block custom-VJP kernel (swinir only)")
     p.add_argument("--gan", action="store_true",
                    help="benchmark the RealCiaoSR G+D train step (002 "
-                        "recipe shape; no perceptual loss — VGG weights "
-                        "need an offline conversion)")
+                        "recipe shape)")
+    p.add_argument("--perceptual", action="store_true",
+                   help="include the VGG19 perceptual term in the GAN "
+                        "step (the true 002-gan generator objective, "
+                        "configs/002_real_gan_...py:69-81). Uses "
+                        "CIAOSR_VGG19_WEIGHTS when set; otherwise "
+                        "synthetic VGG weights (identical cost, no "
+                        "network access needed)")
     p.add_argument("--json", help="write results here")
     args = p.parse_args()
 
@@ -165,16 +171,31 @@ def main():
                    use_pallas=args.train_pallas)
         if args.model == "swinir":
             gen["window_size"] = 8
+        percep_cfg = dict(
+            type="PerceptualLoss",
+            layer_weights={"2": 0.1, "7": 0.1, "16": 1.0, "25": 1.0,
+                           "34": 1.0},
+            perceptual_weight=1.0, style_weight=0.0,
+            pretrained=os.environ.get("CIAOSR_VGG19_WEIGHTS")) \
+            if args.perceptual else None
         gan = rr.RealCiaoSRRestorer(
             generator=gen,
             discriminator=dict(type="UNetDiscriminatorWithSpectralNorm",
                                in_channels=3, mid_channels=64),
             pixel_loss=dict(type="L1Loss", loss_weight=1.0),
+            perceptual_loss=percep_cfg,
             gan_loss=dict(type="GANLoss", gan_type="vanilla",
                           loss_weight=0.1),
             is_use_sharpened_gt_in_pixel=True,
             train_cfg=dict(disc_steps=1, disc_init_steps=0,
                            ema_momentum=0.999))
+        if args.perceptual and not os.environ.get("CIAOSR_VGG19_WEIGHTS"):
+            # synthetic VGG19 weights: the step's cost is weight-value-
+            # independent, so the timing is the true 002-gan number
+            gan.perceptual_loss._params = jax.jit(
+                gan.perceptual_loss.net.init)(
+                    jax.random.PRNGKey(7),
+                    jnp.zeros((1, 64, 64, 3), jnp.float32))
         g_tx, _ = build_optimizer(dict(type="Adam", lr=1e-4), None)
         d_tx, _ = build_optimizer(dict(type="Adam", lr=1e-4), None)
         step_fn = gan.make_gan_train_step(g_tx, d_tx)
@@ -200,8 +221,11 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         results["gan_step_ms"] = round(dt * 1e3, 1)
         results["gan_iters_per_s"] = round(1.0 / dt, 2)
-        print(f"GAN G+D step (b{b}, {hw}px, {q}q): {dt * 1e3:.1f} ms "
-              f"({1 / dt:.2f} it/s)", flush=True)
+        results["gan_perceptual"] = bool(args.perceptual)
+        tag = "with VGG19 perceptual" if args.perceptual \
+            else "no perceptual"
+        print(f"GAN G+D step (b{b}, {hw}px, {q}q, {tag}): "
+              f"{dt * 1e3:.1f} ms ({1 / dt:.2f} it/s)", flush=True)
 
     if args.json:
         with open(args.json, "w") as f:

@@ -108,6 +108,56 @@ def test_onthefly_degradation_eval(sr_fixture):
     assert res["n_images"] == 3 and np.isfinite(res["PSNR"])
 
 
+def test_multisize_folder_eval_with_compilation_cache(tmp_path, monkeypatch):
+    """Realistic heterogeneous val folder (untiled s>4 protocol,
+    configs/001_..._rdn_...py:139-154): every image has a DISTINCT size,
+    so the jitted predictor recompiles per size; the persistent
+    compilation cache (utils/compilation_cache.py) must capture those
+    programs so later runs restore instead of recompiling."""
+    import cv2
+    from ciaosr_tpu.data.datasets import build_dataset
+    from ciaosr_tpu.eval.evaluator import evaluate_dataset
+    from ciaosr_tpu.models.restorers import CiaoSRRestorer
+    from ciaosr_tpu.utils.compilation_cache import enable_compilation_cache
+
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i, (h, w) in enumerate([(36, 42), (42, 36), (48, 54)]):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(gt_dir / f"img{i}.png"), img)
+
+    cache_dir = tmp_path / "jax_cache"
+    monkeypatch.setenv("CIAOSR_COMPILATION_CACHE", str(cache_dir))
+    assert enable_compilation_cache() == str(cache_dir)
+
+    pipeline = [
+        dict(type="LoadImageFromFile", key="gt", channel_order="rgb"),
+        dict(type="RandomDownSampling", scale_min=6, scale_max=6),
+        dict(type="RescaleToZeroOne", keys=["lq", "gt"]),
+        dict(type="ImageToTensor", keys=["lq", "gt"]),
+        dict(type="GenerateCoordinateAndCell", scale=6),
+        dict(type="Collect", keys=["lq", "gt", "coord", "cell"],
+             meta_keys=["gt_path"]),
+    ]
+    ds = build_dataset(dict(type="SRFolderGTDataset",
+                            gt_folder=str(gt_dir),
+                            pipeline=pipeline, scale=6))
+    restorer = CiaoSRRestorer(
+        generator=TINY_GEN,
+        test_cfg=dict(metrics=["PSNR"], crop_border=6, scale=6,
+                      convert_to="y"))
+    params = restorer.init_params(jax.random.PRNGKey(0))
+    res = evaluate_dataset(restorer, params, ds)
+    assert res["n_images"] == 3 and np.isfinite(res["PSNR"])
+    # three distinct input sizes -> three compiled predictor programs
+    assert len(restorer._jit_cache) == 3
+    # the persistent cache captured the per-size programs on disk
+    entries = [f for f in os.listdir(cache_dir)] if cache_dir.exists() \
+        else []
+    assert entries, "persistent compilation cache wrote no entries"
+
+
 def test_training_loss_decreases(sr_fixture):
     """30 iterations of the L1 recipe on tiny data: loss must drop."""
     from ciaosr_tpu.data.datasets import build_dataset

@@ -61,6 +61,8 @@ def main():
     import jax
     import numpy as np
 
+    from ciaosr_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()  # arbitrary input sizes -> per-size compiles
     from ciaosr_tpu.config.config import Config
     from ciaosr_tpu.models.builder import build_model
     import ciaosr_tpu.models.restorers  # noqa: F401 (registry)

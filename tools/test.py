@@ -90,6 +90,8 @@ def main():
 
     import jax
     import numpy as np
+    from ciaosr_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()  # amortize per-size eval compiles across runs
     from ciaosr_tpu.config.config import Config
     from ciaosr_tpu.data.datasets import build_dataset
     from ciaosr_tpu.eval.evaluator import evaluate_dataset

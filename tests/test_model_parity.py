@@ -139,6 +139,7 @@ def test_encoder_parity(encoder_kind, enc_cls, rng):
     np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_local_size_variants(rng):
     """local_size=1 (single tap) and 3 (full 3×3 ensemble) also match."""
     for ls in (1, 3):

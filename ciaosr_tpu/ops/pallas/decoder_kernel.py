@@ -49,6 +49,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# sweep hook for the halo row-block gate (tools/profile_stages.py);
+# None = the measured production gate in _grid_decode_halo
+_HALO_RMAX_OVERRIDE = None
+
+
 def _mm(a, b):
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
@@ -657,7 +662,14 @@ def _wt_kernel(*refs, rows, width, dk):
     wt(dy,dx) = (q ⊙ shift(u)) @ W_koutᵀ, ck(dy,dx) = (q ⊙ shift(u))·b.
     Reads the three column-variant u windows ONCE (static row slices —
     dy is a compile-time constant here) instead of materializing
-    u9/q_rep/qk9 (~1.1 GB of HBM round-trips at 192²/DK=576)."""
+    u9/q_rep/qk9 (~1.1 GB of HBM round-trips at 192²/DK=576).
+
+    Measured negative (round 4, don't retry): concatenating the nine qk
+    products into ONE (9N, DK)@(DK, 256+8) matmul is wall-neutral at
+    both widths (RDN 22.52 → 22.28, SwinIR 35.44 → 35.34 ms full
+    decode) — Mosaic already pipelines the per-plane matmuls; the 2.35
+    ms this stage shows in isolation is DMA/grid latency, not per-op
+    matmul overhead."""
     f_refs, wk_ref, bmat_ref, wt_ref, ck_ref = \
         refs[:3], refs[3], refs[4], refs[5], refs[6]
     n = rows * width
@@ -1164,10 +1176,13 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
     # single-DMA shifts remove the stacked path's small-block pressure;
     # taller blocks win here (22.4 vs 22.7 ms at 192² — fewer grid steps,
     # same exact reads), so the caller's stacked-path `rows` tuning is
-    # ignored; wide-DK models instead need SHORT blocks — at 2944 lanes,
-    # rows=4 starves VMEM double-buffering (halo ≈ stacked; rows=2:
-    # 53.0 → 46.0 ms; rows=1 regresses to 48.0, DMA-count-bound)
-    rmax = 8 if lanes <= 1536 else 2
+    # ignored. The round-2 "wide-DK needs rows=2" gate (53.0 → 46.0 ms)
+    # predates the unconditional hoist: without the a128(DK)-lane query
+    # window (lanes 2944 → 2432) the sweep moves — rmax 2/3/4/6 →
+    # 35.34/39.32/34.66/39.26 ms at SwinIR 192² — so wide-DK now takes
+    # rows=4 (rows=3/6 lose to grid-divisibility effects).
+    # _HALO_RMAX_OVERRIDE is the sweep hook (see /tmp-style drives).
+    rmax = _HALO_RMAX_OVERRIDE or (8 if lanes <= 1536 else 4)
     rows = max(r for r in range(1, min(rmax, kh) + 1) if kh % r == 0)
     n_blocks = kh // rows
 

@@ -123,7 +123,7 @@ def test_multisize_folder_eval_with_compilation_cache(tmp_path, monkeypatch):
     gt_dir = tmp_path / "gt"
     gt_dir.mkdir()
     rng = np.random.default_rng(3)
-    for i, (h, w) in enumerate([(36, 42), (42, 36), (48, 54)]):
+    for i, (h, w) in enumerate([(36, 42), (42, 36)]):
         img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
         cv2.imwrite(str(gt_dir / f"img{i}.png"), img)
 
@@ -143,15 +143,17 @@ def test_multisize_folder_eval_with_compilation_cache(tmp_path, monkeypatch):
     ds = build_dataset(dict(type="SRFolderGTDataset",
                             gt_folder=str(gt_dir),
                             pipeline=pipeline, scale=6))
+    # no CSA: this test targets the per-size compile/cache story, and
+    # the tiny CSA graph alone costs ~40 s of CPU compile per size
     restorer = CiaoSRRestorer(
-        generator=TINY_GEN,
+        generator=dict(TINY_GEN, non_local_attn=False),
         test_cfg=dict(metrics=["PSNR"], crop_border=6, scale=6,
                       convert_to="y"))
     params = restorer.init_params(jax.random.PRNGKey(0))
     res = evaluate_dataset(restorer, params, ds)
-    assert res["n_images"] == 3 and np.isfinite(res["PSNR"])
-    # three distinct input sizes -> three compiled predictor programs
-    assert len(restorer._jit_cache) == 3
+    assert res["n_images"] == 2 and np.isfinite(res["PSNR"])
+    # two distinct input sizes -> two compiled predictor programs
+    assert len(restorer._jit_cache) == 2
     # the persistent cache captured the per-size programs on disk
     entries = [f for f in os.listdir(cache_dir)] if cache_dir.exists() \
         else []

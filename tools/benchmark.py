@@ -90,6 +90,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ciaosr_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()  # rational/hybrid programs compile slowly
+
     restorer = build(args.model)
     params = restorer.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)

@@ -53,16 +53,23 @@ def _overlap_add(k_maps: jnp.ndarray, hp: int, wp: int, s: int,
 
 
 def fused_admission(hp: int, wp: int, s: int, channels: int, cr: int,
-                    es: int) -> tuple[str, int | None, int]:
+                    es: int, batch: int = 1) -> tuple[str, int | None, int]:
     """Which CSA kernel a geometry gets, with its (rows, tl) tiling.
 
-    Returns ("resident" | "windowed" | "streaming", rows, tl). The fused
-    kernel needs 8-aligned widths (wp, wp/s — its strip epilogue and
-    row slicing); admission is a VMEM estimate: the resident kernel
-    keeps the whole match/phase planes on-chip, the windowed variant
-    streams them as per-instance element-offset windows so only the
-    accumulator/tiles bound it (csa_attention.py). ``es`` is the compute
-    element size (2 for bf16, 4 for f32) — resident operands inherit it.
+    Returns ("stencil" | "resident" | "windowed" | "streaming", rows, tl).
+    The fused kernels need 8-aligned widths (wp, wp/s — strip epilogue /
+    row slicing). Admission order is measured, not theoretical
+    (PERF_NOTES round 4): the resident strip kernel wins whenever it
+    fits VMEM (no HBM intermediate; RDN 192-tile 13.56 ms vs stencil
+    14.40); where it doesn't, "stencil" — the stencil-factored
+    two-kernel path (csa_attention.py round-4 section), ~5× fewer
+    FLOPs — beats the windowed strip kernel by ~1.65× (SwinIR 192-tile
+    33.28 → 20.16 ms) at the cost of round-tripping its Ā (P, L_pad)
+    intermediate through HBM (gated on that footprint; huge untiled
+    maps fall through). The windowed strip variant streams per-instance
+    element-offset windows and is the last fused resort. ``es`` is the
+    compute element size (2 for bf16, 4 for f32) — resident operands
+    inherit it.
     """
     from ciaosr_tpu.ops.pallas.csa_attention import aligned_channels
 
@@ -71,6 +78,7 @@ def fused_admission(hp: int, wp: int, s: int, channels: int, cr: int,
     if not (rows and hp % s == 0 and wp % 8 == 0 and (wp // s) % 8 == 0):
         return "streaming", None, 1024
     c_eff = aligned_channels(s, channels)
+
     rsel = min(rows, key=lambda r: abs(r * wp - 1024))
     tp = rsel * wp
     wq = wp // s
@@ -86,6 +94,26 @@ def fused_admission(hp: int, wp: int, s: int, channels: int, cr: int,
             + tp * tl_eff * 4)      # logits tile
     if vmem < budget:
         return "resident", rsel, 1024
+
+    # stencil path: gate on the Ā HBM round-trip footprint + VMEM
+    tl_st = min(1024, -(-l_act // 128) * 128)
+    l_pad_st = -(-l_act // tl_st) * tl_st
+    sc2 = s * s * c_eff
+    hr, hc = wp + 8, -(-(wq + 1) // 64) * 64
+    if (l_pad_st // tl_st <= 127
+            and batch * hp * wp * l_pad_st * es <= 2 * 1024 ** 3):
+        for rst in sorted(rows, key=lambda r: abs(r * wp - 1024)):
+            tps = rst * wp
+            vmem_st = max(
+                # kernel A: resident k + q concat + two score tiles
+                l_pad_st * max(9 * cr, 128) * es + 2 * tps * 9 * cr * es
+                + 2 * tps * tl_st * 4 + 2 * tps * 128 * 4,
+                # kernel B: double-buffered Ā window + M + phases + acc
+                2 * (tps + 2 * hr) * (tl_st + 2 * hc) * es
+                + 2 * tps * tl_st * 4 + 2 * tl_st * sc2 * es
+                + 2 * tps * sc2 * 4)
+            if vmem_st < budget:
+                return "stencil", rst, tl_st
     for tlw in (tl_eff, 512, 256):
         if not 256 <= tlw <= tl_eff:
             continue
@@ -170,7 +198,7 @@ class CrossScaleAttention(nn.Module):
             if flash and self.average:
                 import jax
                 from ciaosr_tpu.ops.pallas.csa_attention import (
-                    csa_attention, csa_fused)
+                    csa_attention, csa_fused, csa_stencil)
                 interp = jax.default_backend() == "cpu"
                 # resident operands inherit the compute dtype — an f32
                 # run doubles them and blows the 100 MB scoped VMEM at
@@ -178,8 +206,18 @@ class CrossScaleAttention(nn.Module):
                 # real element size
                 es = 2 if self.dtype == jnp.bfloat16 else 4
                 mode, rsel, tl_sel = fused_admission(
-                    hp, wp, s, self.channels, cr, es)
-                if mode != "streaming":
+                    hp, wp, s, self.channels, cr, es, batch=b)
+                if mode == "stencil":
+                    # stencil-factored path: diagonal stencil on Ā + one
+                    # (P, L)@(L, s²C) matmul — ~5× fewer FLOPs than the
+                    # strip kernels (csa_attention.py round-4 section)
+                    y = csa_stencil(
+                        match, w_normed, embed, self.softmax_scale, hp, wp,
+                        s, self.channels,
+                        out_dtype=self.dtype or jnp.float32,
+                        rows=rsel, tl=tl_sel, interpret=interp,
+                        a_dtype=self.dtype or jnp.float32)
+                elif mode != "streaming":
                     # whole CSA middle in one kernel: q/v banks assembled
                     # in VMEM from resident match/phase planes (or
                     # per-instance windows of them), softmax online,

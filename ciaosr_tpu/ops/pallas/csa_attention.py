@@ -557,3 +557,240 @@ def csa_fused(match, k, embed, scale: float, hp: int, wp: int, s: int,
     )(*operands)
     out = _combine_strips(strips, rows, hp, wp, s, channels)
     return out[..., :c_out] if channels != c_out else out
+
+
+# ---------------------------------------------------------------------------
+# Round-4: stencil-factored CSA — 9× fewer reconstruction FLOPs.
+#
+# The fused kernels above pay 2·P·L·(9Cr + 9s²C) FLOPs because every
+# (query, key) pair multiplies the full 9-tap (3s)²C value patch. But the
+# conv_transpose paste (arch_csnln.py:511) is DIAGONAL in (query, key):
+# writing out[s·i'+a] = Σ_t Σ_l attn[i'+1-t, l]·embed[s(l+t-1)+a] and
+# substituting l' = l + t - 1 gives
+#
+#     out[s·i'+a] = Σ_l' M[i', l'] · P_a[l'],
+#     M[i', l']   = Σ_{d∈{-1,0,1}²} attn[i'-d, l'-d]   (zero outside),
+#     P_a[l']     = embed[s·l'+a]                       (phase planes).
+#
+# (2-D: d shifts the query index by d full-res pixels AND the key index
+# by d key-grid pixels — the same d.) So the 9-tap fold collapses into a
+# 9-point diagonal STENCIL on the normalized attention matrix followed by
+# ONE (P, L)@(L, s²C) matmul, and the strip overlap-add epilogue becomes
+# a plain pixel shuffle: FLOPs drop from 2PL(9Cr + 9s²C) to
+# 2PL(9Cr + s²C) — 5.0× at SwinIR width, 4.8× at RDN width. Exactness of
+# the factorization is proven in float64 (max|Δ| 4e-14 vs the einsum +
+# _overlap_add path; tests/test_csa_stencil.py).
+#
+# Cost: Ā (P, L) bf16 round-trips HBM between the two kernels (~680 MB at
+# the 192-tile geometry — why the mode is gated on P·L size). Kernel A is
+# the windowed score kernel run as TWO sweeps over the L tiles (stats,
+# then normalized write — P̄ leaves fully normalized, so kernel B needs no
+# softmax bookkeeping). Kernel B reads P̄ windows with (wp+8, 64·⌈..⌉)
+# halos, takes the nine diagonal static slices with ravel-wrap masks,
+# and runs the single phase matmul.
+# ---------------------------------------------------------------------------
+
+
+def _csa_scores_kernel(m0_ref, m1_ref, m2_ref, k_ref, o_ref, m_sc, l_sc, *,
+                       scale, n_l, l_actual, tl, rows, wp):
+    """Two-sweep normalized attention writer.
+
+    Grid (b, n_t, 2·n_l), li arbitrary. Sweep 1 (li < n_l) runs the
+    online max/denominator recurrence into scratch; sweep 2 recomputes
+    each score tile and writes Ā = exp(sc − m)/l — fully normalized —
+    to HBM bf16. The q tile is assembled per-instance from the three
+    column-variant match windows (same fetch pattern as
+    _csa_windowed_kernel); k stays VMEM-resident."""
+    li = pl.program_id(2)
+    lt = li % n_l
+    tp = rows * wp
+
+    @pl.when(li == 0)
+    def _init():
+        m_sc[...] = jnp.full_like(m_sc, -jnp.inf)
+        l_sc[...] = jnp.zeros_like(l_sc)
+
+    m_refs = (m0_ref, m1_ref, m2_ref)
+    q_parts = []
+    for dy in range(3):
+        for dx in range(3):
+            q_parts.append(m_refs[dx][0, 0, dy * wp:dy * wp + tp, :])
+    q = jnp.concatenate(q_parts, axis=1)              # (TP, 9Cr)
+
+    k = k_ref[0, pl.ds(lt * tl, tl), :]
+    sc = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    col = lt * tl + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+    sc = jnp.where(col < l_actual, sc, -jnp.inf)
+
+    @pl.when(li < n_l)
+    def _stats():
+        m_prev = m_sc[...]
+        m_cur = jnp.max(sc, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        p = jnp.exp(sc - m_new[:, :1])
+        l_sc[...] = l_sc[...] * jnp.exp(m_prev - m_new) + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), m_prev.shape)
+        m_sc[...] = m_new
+
+    @pl.when(li >= n_l)
+    def _write():
+        p = jnp.exp(sc - m_sc[..., :1]) / l_sc[..., :1]
+        o_ref[0] = p.astype(o_ref.dtype)
+
+
+def _csa_stencil_pv_kernel(p_ref, ph_ref, o_ref, acc_ref, *, n_l, tl, rows,
+                           wp, wq, hr, hc):
+    """Diagonal stencil + single phase matmul.
+
+    p_ref: (1, TP+2·hr, TL+2·hc) window of the zero-padded normalized
+    attention (window start (pi·TP, li·TL) of the padded array — i.e.
+    (pi·TP − hr, li·TL − hc) of Ā). ph_ref: (1, TL, s²C) phase planes.
+    The nine taps are STATIC in-window slices at (hr − dy·wp − dx,
+    hc − dy·wq − dx); iota masks kill the row-ravel column wraps (a ±1
+    query-col shift at an image edge lands on the adjacent image row; a
+    ±1 key-col shift at a key-grid edge lands on the adjacent key row).
+    Out-of-range rows/cols are exact zeros from the XLA pad."""
+    li = pl.program_id(2)
+    tp = rows * wp
+
+    @pl.when(li == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = p_ref[0]                                       # (TP+2hr, TL+2hc)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    cols_i = li * tl + jax.lax.broadcasted_iota(jnp.int32, (1, tl), 1)
+    m = jnp.zeros((tp, tl), jnp.float32)
+    for dx in (-1, 0, 1):
+        part = jnp.zeros((tp, tl), jnp.float32)
+        for dy in (-1, 0, 1):
+            r0 = hr - dy * wp - dx
+            c0 = hc - dy * wq - dx
+            part = part + w[r0:r0 + tp, c0:c0 + tl].astype(jnp.float32)
+        if dx:
+            bad_q = 0 if dx == 1 else wp - 1
+            bad_k = 0 if dx == 1 else wq - 1
+            keep = ((rows_i % wp) != bad_q) & ((cols_i % wq) != bad_k)
+            part = jnp.where(keep, part, 0.0)
+        m = m + part
+    pv = jax.lax.dot_general(m.astype(ph_ref.dtype), ph_ref[0],
+                             (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_ref[...] = acc_ref[...] + pv
+
+    @pl.when(li == n_l - 1)
+    def _done():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def csa_stencil(match, k, embed, scale: float, hp: int, wp: int, s: int,
+                channels: int, out_dtype=jnp.float32,
+                rows: int | None = None, tl: int = 1024,
+                interpret: bool = False, a_dtype=jnp.bfloat16):
+    """Whole CSA middle via the stencil factorization (header above).
+
+    Same contract as csa_fused: match (B, Hp, Wp, Cr), k (B, L, 9Cr)
+    normalized, embed (B, Hp, Wp, C); returns (B, s·Hp, s·Wp, C)
+    pre-/6, pre-down-conv. Requires wp % 8 == 0 and (wp//s) % 8 == 0.
+    Materializes Ā (B, P, L_pad) in HBM between the kernels (``a_dtype``,
+    bf16 in production — f32 runs keep an f32 Ā so the mode stays inside
+    f32 tolerance) — admission gates on that footprint
+    (fused_admission)."""
+    b = match.shape[0]
+    cr = match.shape[-1]
+    wq = wp // s
+    hq = hp // s
+    l_actual = hq * wq
+    lq = hp * wp
+    c_out = channels
+    channels = aligned_channels(s, channels)
+    if channels != c_out:
+        embed = jnp.pad(embed, ((0, 0), (0, 0), (0, 0),
+                                (0, channels - c_out)))
+    if rows is None:
+        cands = [r for r in range(1, 33)
+                 if hp % r == 0 and (r * wp) % 8 == 0]
+        rows = min(cands, key=lambda r: abs(r * wp - 2048))
+    assert hp % rows == 0 and (rows * wp) % 8 == 0
+    assert wp % 8 == 0 and wq % 8 == 0, "csa_stencil needs aligned widths"
+    tp = rows * wp
+    n_t = hp // rows
+    tl = min(tl, -(-l_actual // 128) * 128)
+    l_pad = -(-l_actual // tl) * tl
+    n_l = l_pad // tl
+    sc2 = s * s * channels
+    hr = wp + 8                                   # ≥ wp+1, 8-aligned
+    hc = -(-(wq + 1) // 64) * 64                  # ≥ wq+1, keeps lane width
+    assert n_l <= 127
+
+    m3 = _col_shifted3(match).reshape(b, 3, lq, cr)
+    m3 = jnp.pad(m3, ((0, 0), (0, 0), (wp, wp), (0, 0)))
+    k_res = jnp.pad(k, ((0, 0), (0, l_pad - l_actual), (0, 0)))
+
+    from jax._src.pallas.core import Element
+    a_norm = pl.pallas_call(
+        functools.partial(_csa_scores_kernel, scale=scale, n_l=n_l,
+                          l_actual=l_actual, tl=tl, rows=rows, wp=wp),
+        grid=(b, n_t, 2 * n_l),
+        in_specs=[pl.BlockSpec(
+            (Element(1), Element(1), Element(tp + 2 * wp), Element(cr)),
+            (lambda bi, pi, li, dx=dx: (bi, dx, pi * tp, 0)))
+            for dx in range(3)] + [
+            pl.BlockSpec((1, l_pad, 9 * cr), lambda bi, pi, li: (bi, 0, 0))],
+        out_specs=pl.BlockSpec(
+            (1, tp, tl),
+            # sweep 1 never assigns the block: park its visits on block
+            # (pi, 0) (index unchanged -> no flush) so only sweep 2's
+            # normalized tiles ever reach HBM
+            lambda bi, pi, li: (bi, pi,
+                                jnp.where(li < n_l, 0, li - n_l))),
+        out_shape=jax.ShapeDtypeStruct((b, lq, l_pad), a_dtype),
+        scratch_shapes=[pltpu.VMEM((tp, 128), jnp.float32),
+                        pltpu.VMEM((tp, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * lq * l_pad * 9 * cr,
+            bytes_accessed=b * (lq * l_pad * 2 + 2 * l_pad * 9 * cr * 2
+                                + 3 * lq * cr * 2),
+            transcendentals=2 * b * lq * l_pad),
+        interpret=interpret,
+    )(m3, m3, m3, k_res)
+
+    a_pad = jnp.pad(a_norm, ((0, 0), (hr, hr), (hc, hc)))
+    phases = jnp.concatenate([embed[:, a::s, bb::s, :]
+                              for a in range(s) for bb in range(s)],
+                             axis=-1)                  # (B, hq, wq, s²C)
+    phases = phases.reshape(b, l_actual, sc2)
+    phases = jnp.pad(phases, ((0, 0), (0, l_pad - l_actual), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_csa_stencil_pv_kernel, n_l=n_l, tl=tl, rows=rows,
+                          wp=wp, wq=wq, hr=hr, hc=hc),
+        grid=(b, n_t, n_l),
+        in_specs=[
+            pl.BlockSpec(
+                (Element(1), Element(tp + 2 * hr), Element(tl + 2 * hc)),
+                lambda bi, pi, li: (bi, pi * tp, li * tl)),
+            pl.BlockSpec((1, tl, sc2), lambda bi, pi, li: (bi, li, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tp, sc2), lambda bi, pi, li: (bi, pi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, lq, sc2), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tp, sc2), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * lq * l_pad * sc2 + 9 * b * lq * l_pad,
+            bytes_accessed=b * ((lq + 2 * hr) * (l_pad + 2 * hc) * 2
+                                + n_t * l_pad * sc2 * 2 + lq * sc2 * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(a_pad, phases)
+
+    out = out.reshape(b, hp, wp, s, s, channels)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * s, wp * s,
+                                                  channels)
+    return out[..., :c_out] if channels != c_out else out

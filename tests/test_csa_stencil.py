@@ -1,0 +1,121 @@
+"""Stencil-factored CSA (csa_stencil) vs the einsum + overlap-add path.
+
+The factorization collapses the (3s)²C-wide reconstruction matmul into a
+9-point diagonal stencil on the normalized attention matrix plus ONE
+(P, L)@(L, s²C) matmul (derivation: ops/pallas/csa_attention.py header,
+round-4 section). These tests prove (a) the factorization is exact in
+float64 against the einsum + _overlap_add reference (pure math — no
+kernel), and (b) the two-kernel Pallas implementation matches the same
+reference at bf16 tolerance in interpret mode across scales, rectangular
+maps, multi-l-tile tilings, and batch, including the ravel-wrap edge
+masks. Reference semantics: CrossScaleAttention at
+/root/reference/mmedited/models/common/arch_csnln.py:493-511.
+"""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode kernels are compile-heavy
+
+import jax
+import jax.numpy as jnp
+
+from ciaosr_tpu.models.csa import CrossScaleAttention, _overlap_add
+from ciaosr_tpu.ops.neighborhood import extract_patches_same
+from ciaosr_tpu.ops.pallas.csa_attention import csa_stencil
+
+
+def _reference(match, k_normed, embed, scale, hp, wp, s, channels):
+    x_nb = extract_patches_same(match, 3, 1)
+    raw = extract_patches_same(embed, 3 * s, s)
+    acc_t = match.dtype if match.dtype == jnp.float64 else jnp.float32
+    corr = jnp.einsum("bpk,blk->bpl", x_nb, k_normed,
+                      preferred_element_type=acc_t)
+    attn = jax.nn.softmax(corr * scale, axis=-1)
+    k_maps = jnp.einsum("bpl,blk->bpk", attn, raw,
+                        preferred_element_type=acc_t)
+    return _overlap_add(k_maps, hp, wp, s, channels)
+
+
+def _inputs(rng, b, hp, wp, s, channels, cr, dtype=np.float32):
+    match = rng.standard_normal((b, hp, wp, cr)).astype(dtype)
+    k = rng.standard_normal((b, (hp // s) * (wp // s), 9 * cr)).astype(dtype)
+    k = k / np.maximum(np.linalg.norm(k, axis=-1, keepdims=True), 1e-4)
+    embed = rng.standard_normal((b, hp, wp, channels)).astype(dtype)
+    return jnp.asarray(match), jnp.asarray(k), jnp.asarray(embed)
+
+
+def test_stencil_factorization_exact_f64(rng):
+    """The math itself (stencil-on-attention + single phase matmul) is
+    EXACT: float64, no Pallas — isolates the derivation from kernel
+    numerics."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        hp, wp, s, channels, cr = 12, 16, 2, 6, 3
+        hq, wq = hp // s, wp // s
+        match, k, embed = _inputs(rng, 2, hp, wp, s, channels, cr,
+                                  np.float64)
+        assert match.dtype == jnp.float64
+        ref = _reference(match, k, embed, 10.0, hp, wp, s, channels)
+
+        x_nb = extract_patches_same(match, 3, 1)
+        corr = jnp.einsum("bpk,blk->bpl", x_nb, k)
+        attn = jax.nn.softmax(corr * 10.0, axis=-1)
+        a4 = attn.reshape(2, hp, wp, hq, wq)
+        a4 = jnp.pad(a4, ((0, 0), (1, 1), (1, 1), (1, 1), (1, 1)))
+        m = jnp.zeros((2, hp, wp, hq, wq), attn.dtype)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                m = m + a4[:, 1 - dy:1 - dy + hp, 1 - dx:1 - dx + wp,
+                           1 - dy:1 - dy + hq, 1 - dx:1 - dx + wq]
+        phases = jnp.concatenate(
+            [embed[:, a::s, bb::s, :] for a in range(s) for bb in range(s)],
+            axis=-1).reshape(2, hq * wq, s * s * channels)
+        out = jnp.einsum("bpl,blk->bpk", m.reshape(2, hp * wp, hq * wq),
+                         phases)
+        out = out.reshape(2, hp, wp, s, s, channels).transpose(
+            0, 1, 3, 2, 4, 5).reshape(2, s * hp, s * wp, channels)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-12)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+@pytest.mark.parametrize(
+    "hp,wp,s,channels,cr,rows,tl",
+    [(16, 16, 2, 6, 3, 2, 128),    # base
+     (24, 16, 2, 8, 4, 2, 128),    # rectangular
+     (24, 24, 3, 5, 4, 2, 128),    # s=3 (downx3 geometry)
+     (32, 32, 4, 8, 4, 1, 128),    # s=4, rows=1
+     (32, 16, 2, 6, 3, 2, 64),     # multi-l-tile (two-sweep normalization
+     (48, 16, 2, 6, 3, 3, 64)])    #   + windowed stencil col offsets)
+def test_csa_stencil_matches_einsum(rng, hp, wp, s, channels, cr, rows, tl):
+    match, k, embed = _inputs(rng, 2, hp, wp, s, channels, cr)
+    ref = _reference(match, k, embed, 2.0, hp, wp, s, channels)
+    out = csa_stencil(match.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                      embed.astype(jnp.bfloat16), 2.0, hp, wp, s, channels,
+                      rows=rows, tl=tl, interpret=True)
+    # bf16 inputs + bf16 Ā round-trip (the fused kernels' bf16 p-cast
+    # shows the same ~6.5e-3 class on hardware; PERF_NOTES round 2)
+    scale = float(jnp.abs(ref).max())
+    assert float(jnp.abs(out - ref).max()) / scale < 2e-2
+
+
+def test_csa_module_routes_stencil(rng, monkeypatch):
+    """CrossScaleAttention(flash=True) takes the stencil path when
+    admission selects it and matches the einsum (flash=False) module
+    output end-to-end (convs + norm + attention + down-conv). Tiny
+    geometries route resident in production (it fits VMEM), so pin the
+    admission to the stencil mode here — the gate itself is pinned at
+    the production geometries in test_pallas_kernel.py."""
+    from ciaosr_tpu.models import csa as csa_mod
+    monkeypatch.setattr(csa_mod, "fused_admission",
+                        lambda *a, **k: ("stencil", 2, 128))
+    csa = CrossScaleAttention(channels=8, reduction=2, scales=(2,),
+                              dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 8)).astype(np.float32))
+    params = csa.init(jax.random.PRNGKey(0), x)
+    ref = csa.apply(params, x, flash=False)
+    out = csa.apply(params, x, flash=True)
+    scale = float(jnp.abs(ref).max())
+    assert float(jnp.abs(out - ref).max()) / scale < 2e-2

@@ -346,21 +346,28 @@ def test_halo_dispatch_gate(rng, monkeypatch):
 
 
 def test_csa_fused_admission_decisions():
-    """Pin the CSA kernel-choice gate at the production geometries:
-    RDN 192-tile (s=2, C=64) fits resident; 192-tile SwinIR (C=180) and
-    the multi-scale s=3/s=4 cases need the windowed variant; odd widths
-    stream."""
+    """Pin the CSA kernel-choice gate at the production geometries
+    (measured order, PERF_NOTES round 4): RDN 192-tile (s=2, C=64) fits
+    resident and resident beats stencil there (13.56 vs 14.40 ms);
+    192-tile SwinIR (C=180) and the multi-scale s=3 case blow resident
+    VMEM and take the stencil path (5× fewer FLOPs, 33.28 → 20.16 ms
+    over windowed); big untiled maps whose Ā blows the HBM budget fall
+    back to the windowed strip kernel; odd widths stream."""
     from ciaosr_tpu.models.csa import fused_admission
 
     mode, rows, tl = fused_admission(192, 192, 2, 64, 32, es=2)
     assert mode == "resident"
     mode, rows, tl = fused_admission(192, 192, 2, 180, 90, es=2)
-    assert mode == "windowed" and rows is not None and tl >= 256
+    assert mode == "stencil" and rows is not None and tl >= 256
     mode, _, _ = fused_admission(192, 192, 3, 64, 32, es=2)
-    assert mode == "windowed"
+    assert mode == "stencil"
     # 96-tile SwinIR fit resident already (round-2 measurement point)
     mode, _, _ = fused_admission(96, 96, 2, 180, 90, es=2)
     assert mode == "resident"
+    # big untiled map (s=6 protocol, ~510px LR): Ā blows the HBM budget
+    # → falls back to the strip kernels, never materializing it
+    mode, _, _ = fused_admission(512, 512, 2, 64, 32, es=2)
+    assert mode in ("resident", "windowed")
     # width not 8-aligned → streaming
     mode, _, _ = fused_admission(12, 12, 2, 8, 4, es=4)
     assert mode == "streaming"

@@ -79,6 +79,41 @@ def fused_admission(hp: int, wp: int, s: int, channels: int, cr: int,
         return "streaming", None, 1024
     c_eff = aligned_channels(s, channels)
 
+    # single-kernel stencil first: Ā never leaves VMEM (no HBM
+    # intermediate AND a single score sweep — the two-kernel stencil
+    # pays both), so it wins at BOTH production geometries when its Ā
+    # scratch fits (RDN 192-tile rows=6 10.60 ms vs resident 13.56;
+    # SwinIR rows=4 17.29 vs two-kernel 20.16 —
+    # tools/sweep_csa_stencil_fused.py on-chip). Gates: per-tile max
+    # history needs n_l ≤ 128 lanes; Ā (TPH, L_pad+2hc) bf16 + banks
+    # must fit the 100 MB scoped VMEM. P-tile target is sc2-dependent
+    # (measured): small phase planes amortize the halo recompute with a
+    # taller tile (RDN sc2=256 → 1152); wide ones want the smaller
+    # acc/out block (SwinIR sc2=768 → 768; rows=6 there is 28.86 ms).
+    wq_f = wp // s
+    l_act_f = (hp // s) * wq_f
+    tl_f = min(1024, -(-l_act_f // 128) * 128)
+    l_pad_f = -(-l_act_f // tl_f) * tl_f
+    if l_pad_f // tl_f <= 128:
+        sc2_f = s * s * c_eff
+        hr_f = wp + 8
+        hc_f = -(-(wq_f + 1) // 128) * 128
+        tp_target = 1152 if sc2_f <= 256 else 768
+        for rsf in sorted(rows, key=lambda r: abs(r * wp - tp_target)):
+            tp_f = rsf * wp
+            tph_f = tp_f + 2 * hr_f
+            vmem_f = (tph_f * (l_pad_f + 2 * hc_f) * 2      # Ā (bf16)
+                      + tph_f * max(9 * cr, 128) * es       # q bank
+                      + 3 * tph_f * 128 * 4                 # m/l/hist
+                      + tp_f * sc2_f * 4                    # f32 acc
+                      + 3 * (tp_f + 2 * (hr_f + wp)) * max(cr, 128)
+                      * es * 2                              # match wins
+                      + 2 * tl_f * max(9 * cr, 128) * es    # k tile
+                      + 2 * tl_f * sc2_f * es               # phase tile
+                      + tp_f * sc2_f * 4)                   # out block
+            if vmem_f < budget:
+                return "stencil_fused", rsf, tl_f
+
     rsel = min(rows, key=lambda r: abs(r * wp - 1024))
     tp = rsel * wp
     wq = wp // s
@@ -198,7 +233,8 @@ class CrossScaleAttention(nn.Module):
             if flash and self.average:
                 import jax
                 from ciaosr_tpu.ops.pallas.csa_attention import (
-                    csa_attention, csa_fused, csa_stencil)
+                    csa_attention, csa_fused, csa_stencil,
+                    csa_stencil_fused)
                 interp = jax.default_backend() == "cpu"
                 # resident operands inherit the compute dtype — an f32
                 # run doubles them and blows the 100 MB scoped VMEM at
@@ -207,7 +243,18 @@ class CrossScaleAttention(nn.Module):
                 es = 2 if self.dtype == jnp.bfloat16 else 4
                 mode, rsel, tl_sel = fused_admission(
                     hp, wp, s, self.channels, cr, es, batch=b)
-                if mode == "stencil":
+                if mode == "stencil_fused":
+                    # whole stencil-factored CSA middle in ONE kernel:
+                    # Ā resident in VMEM, lazy-max normalization, 3+3
+                    # separable stencil (csa_attention.py round-4
+                    # continued section)
+                    y = csa_stencil_fused(
+                        match, w_normed, embed, self.softmax_scale, hp, wp,
+                        s, self.channels,
+                        out_dtype=self.dtype or jnp.float32,
+                        rows=rsel, tl=tl_sel, interpret=interp,
+                        a_dtype=self.dtype or jnp.float32)
+                elif mode == "stencil":
                     # stencil-factored path: diagonal stencil on Ā + one
                     # (P, L)@(L, s²C) matmul — ~5× fewer FLOPs than the
                     # strip kernels (csa_attention.py round-4 section)

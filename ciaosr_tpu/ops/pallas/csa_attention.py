@@ -794,3 +794,232 @@ def csa_stencil(match, k, embed, scale: float, hp: int, wp: int, s: int,
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * s, wp * s,
                                                   channels)
     return out[..., :c_out] if channels != c_out else out
+
+
+# ---------------------------------------------------------------------------
+# Round-4, continued: single-kernel stencil — Ā never leaves VMEM.
+#
+# The two-kernel stencil path above still (a) computes every score twice
+# (stats sweep + normalized-write sweep) and (b) round-trips the bf16
+# Ā (P, L_pad) through HBM (plus an XLA pad copy). This kernel keeps the
+# whole per-P-tile Ā block — own rows AND the ±(Wp+1) stencil halo rows,
+# recomputed — in one VMEM scratch and normalizes it lazily: tile j is
+# written as exp(sc − m_j) with m_j the running max at write time, the
+# per-tile maxes are kept in a (TPH, 128) history (lane j = tile j), and
+# ONE correction pass at the phase-1/phase-2 boundary applies
+# exp(m_j − m_final)/l per tile — no per-step rescans. One score sweep,
+# no HBM intermediate: FLOPs ≈ 2·P·L·(9Cr·(1+2·HR/TP) + s²C).
+#
+# The 9-point diagonal stencil is applied SEPARABLY:
+#   u = Σ_dx mask_dx · shift(Ā, (dx, dx));  M = Σ_dy shift(u, dy·(Wp, W'))
+# (the tap offset is dy·(Wp, W') + dx·(1, 1), so the double sum factors) —
+# 3+3 shifted adds instead of 9, and the dy shifts are sublane-aligned.
+# ---------------------------------------------------------------------------
+
+
+def _csa_stencil_fused_kernel(m0_ref, m1_ref, m2_ref, k_ref, ph_ref, o_ref,
+                              a_scr, q_scr, m_run, l_run, m_hist, acc_ref,
+                              *, scale, n_l, l_actual, tl, rows, wp, wq, s,
+                              channels, hr, hc, lq):
+    """Grid (b, n_t, 2·n_l): phase 1 (li < n_l) scores tile li into the
+    Ā scratch (q assembled once per P-tile into q_scr); the li == n_l
+    step applies the lazy-max/denominator correction; phase 2 runs the
+    separable stencil + phase matmul per L tile.
+
+    m{0,1,2}_ref: (1, 1, TP+2·(HR+Wp), Cr) column-variant match windows
+    (element row start pi·TP into the (HR+Wp)-row-padded map — the extra
+    Wp rows feed the dy taps of the HR halo rows). k_ref: (1, TL, 9Cr)
+    tile li (parked on tile 0 during phase 2). ph_ref: (1, TL, s²C)
+    phase-plane tile lt (parked on 0 during phase 1). a_scr:
+    (TP+2·HR, L_pad+2·HC) — Ā with zero col pads for the key-side taps.
+    """
+    pi = pl.program_id(1)
+    li = pl.program_id(2)
+    tp = rows * wp
+    tph = tp + 2 * hr
+    sc2 = s * s * channels
+
+    @pl.when(li == 0)
+    def _init():
+        m_run[...] = jnp.full_like(m_run, -jnp.inf)
+        l_run[...] = jnp.zeros_like(l_run)
+        a_scr[...] = jnp.zeros_like(a_scr)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_refs = (m0_ref, m1_ref, m2_ref)
+        q_parts = []
+        for dy in range(3):
+            for dx in range(3):
+                q_parts.append(m_refs[dx][0, 0, dy * wp:dy * wp + tph, :])
+        q_scr[...] = jnp.concatenate(q_parts, axis=1)  # (TPH, 9Cr)
+
+    @pl.when(li < n_l)
+    def _scores():
+        k = k_ref[0]                                   # (TL, 9Cr)
+        sc = jax.lax.dot_general(q_scr[...], k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        col = li * tl + jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+        sc = jnp.where(col < l_actual, sc, -jnp.inf)
+
+        m_prev = m_run[...]
+        m_cur = jnp.max(sc, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+        corr = jnp.exp(m_prev - m_new)                 # (TPH, 128)
+        p = jnp.exp(sc - m_new[:, :1])                 # (TPH, TL)
+        # zero out-of-image halo rows (their q is the zero pad → sc = 0,
+        # which would otherwise survive the softmax as real mass)
+        rglob = (pi * tp - hr
+                 + jax.lax.broadcasted_iota(jnp.int32, (tph, 1), 0))
+        p = jnp.where((rglob >= 0) & (rglob < lq), p, 0.0)
+        l_run[...] = l_run[...] * corr + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), corr.shape)
+        m_run[...] = m_new
+        # record the max tile li was written with (lane li of the history)
+        lane = jax.lax.broadcasted_iota(jnp.int32, m_new.shape, 1)
+        m_hist[...] = jnp.where(lane == li, m_new, m_hist[...])
+        a_scr[:, pl.ds(hc + li * tl, tl)] = p.astype(a_scr.dtype)
+
+    @pl.when(li == n_l)
+    def _normalize():
+        # tile j holds exp(sc − m_j); one pass applies exp(m_j − m_fin)/l
+        inv = 1.0 / jnp.maximum(l_run[...], 1e-30)     # (TPH, 128)
+        m_fin = m_run[...]
+        for j in range(n_l):
+            f = jnp.exp(m_hist[:, j:j + 1] - m_fin[:, :1]) * inv[:, :1]
+            blk = a_scr[:, hc + j * tl:hc + (j + 1) * tl]
+            a_scr[:, hc + j * tl:hc + (j + 1) * tl] = (
+                blk.astype(jnp.float32) * f).astype(blk.dtype)
+
+    @pl.when(li >= n_l)
+    def _stencil_pv():
+        lt = li - n_l
+        # one tl-ALIGNED dynamic window read, then static in-window
+        # slices (the kernel-B pattern — Mosaic handles static unaligned
+        # slices of a loaded window, not dynamic unaligned lane starts)
+        w = a_scr[:, pl.ds(lt * tl, tl + 2 * hc)]      # (TPH, TL+2HC)
+        # separable stencil, stage 1: the three (dx, dx) diagonal taps
+        # over the region T2 needs (rows ±Wp, cols ±W' around the tile)
+        ur, uc = tp + 2 * wp, tl + 2 * wq
+        r0u, c0u = hr - wp, hc - wq
+        rows_iu = jax.lax.broadcasted_iota(jnp.int32, (ur, 1), 0)
+        cols_iu = (lt * tl - wq
+                   + jax.lax.broadcasted_iota(jnp.int32, (1, uc), 1))
+        u = w[r0u:r0u + ur, c0u:c0u + uc].astype(jnp.float32)
+        for dx in (-1, 1):
+            blk = w[r0u - dx:r0u - dx + ur,
+                    c0u - dx:c0u - dx + uc].astype(jnp.float32)
+            bad_q = 0 if dx == 1 else wp - 1
+            bad_k = 0 if dx == 1 else wq - 1
+            keep = (((rows_iu % wp) != bad_q)
+                    & ((cols_iu % wq) != bad_k))
+            u = u + jnp.where(keep, blk, 0.0)
+        # stage 2: the three dy·(Wp, W') taps (sublane-aligned rows)
+        m = u[wp:wp + tp, wq:wq + tl]
+        for dy in (-1, 1):
+            m = m + u[wp - dy * wp:wp - dy * wp + tp,
+                      wq - dy * wq:wq - dy * wq + tl]
+        pv = jax.lax.dot_general(m.astype(ph_ref.dtype), ph_ref[0],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] + pv
+
+        @pl.when(li == 2 * n_l - 1)
+        def _done():
+            o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+def csa_stencil_fused(match, k, embed, scale: float, hp: int, wp: int,
+                      s: int, channels: int, out_dtype=jnp.float32,
+                      rows: int | None = None, tl: int = 1024,
+                      interpret: bool = False, a_dtype=jnp.bfloat16):
+    """Whole CSA middle via the stencil factorization, in ONE kernel.
+
+    Same contract as csa_stencil / csa_fused: match (B, Hp, Wp, Cr),
+    k (B, L, 9Cr) normalized, embed (B, Hp, Wp, C); returns
+    (B, s·Hp, s·Wp, C) pre-/6, pre-down-conv. Requires wp % 8 == 0 and
+    (wp//s) % 8 == 0. Ā lives in a (TP+2·HR, L_pad+2·HC) VMEM scratch
+    (``a_dtype``) — admission gates on that footprint (fused_admission).
+    The halo rows (HR = Wp+8 per side) are recomputed per P-tile: the
+    score sweep runs at (TP+2·HR)/TP × the minimal FLOPs, which buys
+    zero HBM intermediates and a single score sweep.
+
+    Reference semantics: CrossScaleAttention,
+    /root/reference/mmedited/models/common/arch_csnln.py:493-511.
+    """
+    b = match.shape[0]
+    cr = match.shape[-1]
+    wq = wp // s
+    hq = hp // s
+    l_actual = hq * wq
+    lq = hp * wp
+    c_out = channels
+    channels = aligned_channels(s, channels)
+    if channels != c_out:
+        embed = jnp.pad(embed, ((0, 0), (0, 0), (0, 0),
+                                (0, channels - c_out)))
+    if rows is None:
+        cands = [r for r in range(1, 17)
+                 if hp % r == 0 and (r * wp) % 8 == 0]
+        rows = min(cands, key=lambda r: abs(r * wp - 1536))
+    assert hp % rows == 0 and (rows * wp) % 8 == 0
+    assert wp % 8 == 0 and wq % 8 == 0, "csa_stencil_fused needs aligned widths"
+    tp = rows * wp
+    n_t = hp // rows
+    tl = min(tl, -(-l_actual // 128) * 128)
+    l_pad = -(-l_actual // tl) * tl
+    n_l = l_pad // tl
+    sc2 = s * s * channels
+    hr = wp + 8                                  # ≥ wp+1, 8-aligned
+    hc = -(-(wq + 1) // 128) * 128               # ≥ wq+1, lane-aligned
+    padr = hr + wp                               # window pad: halo + dy tap
+
+    m3 = _col_shifted3(match).reshape(b, 3, lq, cr)
+    m3 = jnp.pad(m3, ((0, 0), (0, 0), (padr, padr), (0, 0)))
+    k_res = jnp.pad(k, ((0, 0), (0, l_pad - l_actual), (0, 0)))
+    phases = jnp.concatenate([embed[:, a::s, bb::s, :]
+                              for a in range(s) for bb in range(s)],
+                             axis=-1).reshape(b, l_actual, sc2)
+    phases = jnp.pad(phases, ((0, 0), (0, l_pad - l_actual), (0, 0)))
+
+    from jax._src.pallas.core import Element
+    out = pl.pallas_call(
+        functools.partial(_csa_stencil_fused_kernel, scale=scale, n_l=n_l,
+                          l_actual=l_actual, tl=tl, rows=rows, wp=wp, wq=wq,
+                          s=s, channels=channels, hr=hr, hc=hc, lq=lq),
+        grid=(b, n_t, 2 * n_l),
+        in_specs=[pl.BlockSpec(
+            (Element(1), Element(1), Element(tp + 2 * padr), Element(cr)),
+            (lambda bi, pi, li, dx=dx: (bi, dx, pi * tp, 0)))
+            for dx in range(3)] + [
+            pl.BlockSpec((1, tl, 9 * cr),
+                         lambda bi, pi, li: (bi, jnp.where(li < n_l, li, 0),
+                                             0)),
+            pl.BlockSpec((1, tl, sc2),
+                         lambda bi, pi, li: (bi, jnp.where(li < n_l, 0,
+                                                           li - n_l), 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tp, sc2), lambda bi, pi, li: (bi, pi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, lq, sc2), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tp + 2 * hr, l_pad + 2 * hc), a_dtype),
+            pltpu.VMEM((tp + 2 * hr, 9 * cr), match.dtype),
+            pltpu.VMEM((tp + 2 * hr, 128), jnp.float32),
+            pltpu.VMEM((tp + 2 * hr, 128), jnp.float32),
+            pltpu.VMEM((tp + 2 * hr, 128), jnp.float32),
+            pltpu.VMEM((tp, sc2), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (lq + 2 * hr * n_t) * l_pad * 9 * cr
+            + 2 * b * lq * l_pad * sc2,
+            bytes_accessed=b * (3 * lq * cr * 2 + 2 * l_pad * 9 * cr * 2
+                                + n_t * l_pad * sc2 * 2 + lq * sc2 * 4),
+            transcendentals=b * (lq + 2 * hr * n_t) * l_pad),
+        interpret=interpret,
+    )(m3, m3, m3, k_res, phases)
+
+    out = out.reshape(b, hp, wp, s, s, channels)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp * s, wp * s,
+                                                  channels)
+    return out[..., :c_out] if channels != c_out else out

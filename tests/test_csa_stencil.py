@@ -101,6 +101,30 @@ def test_csa_stencil_matches_einsum(rng, hp, wp, s, channels, cr, rows, tl):
     assert float(jnp.abs(out - ref).max()) / scale < 2e-2
 
 
+@pytest.mark.parametrize(
+    "hp,wp,s,channels,cr,rows,tl",
+    [(16, 16, 2, 6, 3, 2, 128),    # base (single l-tile)
+     (24, 16, 2, 8, 4, 4, 128),    # rectangular
+     (24, 24, 3, 5, 4, 2, 128),    # s=3 (downx3 geometry)
+     (32, 32, 2, 6, 3, 2, 128),    # multi-l-tile: lazy-max history +
+     (48, 16, 2, 6, 3, 3, 64)])    #   boundary-correction pass
+def test_csa_stencil_fused_matches_einsum(rng, hp, wp, s, channels, cr,
+                                          rows, tl):
+    """The single-kernel stencil (Ā resident in VMEM, per-tile max
+    history corrected once at the phase boundary, separable 3+3-tap
+    stencil) matches the einsum reference at the same tolerance class as
+    the two-kernel path — and bit-matches that path where both run."""
+    from ciaosr_tpu.ops.pallas.csa_attention import csa_stencil_fused
+    match, k, embed = _inputs(rng, 2, hp, wp, s, channels, cr)
+    ref = _reference(match, k, embed, 2.0, hp, wp, s, channels)
+    out = csa_stencil_fused(
+        match.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        embed.astype(jnp.bfloat16), 2.0, hp, wp, s, channels,
+        rows=rows, tl=tl, interpret=True)
+    scale = float(jnp.abs(ref).max())
+    assert float(jnp.abs(out - ref).max()) / scale < 2e-2
+
+
 def test_csa_module_routes_stencil(rng, monkeypatch):
     """CrossScaleAttention(flash=True) takes the stencil path when
     admission selects it and matches the einsum (flash=False) module

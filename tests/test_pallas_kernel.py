@@ -347,23 +347,24 @@ def test_halo_dispatch_gate(rng, monkeypatch):
 
 def test_csa_fused_admission_decisions():
     """Pin the CSA kernel-choice gate at the production geometries
-    (measured order, PERF_NOTES round 4): RDN 192-tile (s=2, C=64) fits
-    resident and resident beats stencil there (13.56 vs 14.40 ms);
-    192-tile SwinIR (C=180) and the multi-scale s=3 case blow resident
-    VMEM and take the stencil path (5× fewer FLOPs, 33.28 → 20.16 ms
-    over windowed); big untiled maps whose Ā blows the HBM budget fall
-    back to the windowed strip kernel; odd widths stream."""
+    (measured order, PERF_NOTES round 4): every tiled geometry whose Ā
+    scratch fits VMEM takes the single-kernel stencil (one score sweep,
+    no HBM intermediate — RDN 192-tile 10.60 ms vs 13.56 resident;
+    SwinIR 17.29 vs 20.16 two-kernel stencil), with the measured
+    sc2-dependent P-tile (RDN rows=6, SwinIR rows=4); big untiled maps
+    whose Ā blows even the two-kernel HBM budget fall back to the
+    windowed strip kernel; odd widths stream."""
     from ciaosr_tpu.models.csa import fused_admission
 
     mode, rows, tl = fused_admission(192, 192, 2, 64, 32, es=2)
-    assert mode == "resident"
+    assert (mode, rows) == ("stencil_fused", 6)
     mode, rows, tl = fused_admission(192, 192, 2, 180, 90, es=2)
-    assert mode == "stencil" and rows is not None and tl >= 256
+    assert (mode, rows) == ("stencil_fused", 4) and tl >= 256
     mode, _, _ = fused_admission(192, 192, 3, 64, 32, es=2)
-    assert mode == "stencil"
-    # 96-tile SwinIR fit resident already (round-2 measurement point)
+    assert mode == "stencil_fused"
+    # 96-tile SwinIR (round-2 resident measurement point) also fits
     mode, _, _ = fused_admission(96, 96, 2, 180, 90, es=2)
-    assert mode == "resident"
+    assert mode == "stencil_fused"
     # big untiled map (s=6 protocol, ~510px LR): Ā blows the HBM budget
     # → falls back to the strip kernels, never materializing it
     mode, _, _ = fused_admission(512, 512, 2, 64, 32, es=2)

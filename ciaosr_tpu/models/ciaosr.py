@@ -560,18 +560,24 @@ class CiaoSRNet(nn.Module):
         kh, kw = h // qy, w // qx
         th, tw = kh * py, kw * px
         cdt = self.dtype or feature.dtype
-        u_map = unfold_nhwc(feature) if self.feat_unfold else feature
+        eligible, excluded = rational_phase_split(h, w, py, qy, px, qx,
+                                                  self.local_size)
+        # the fused phases unfold IN-KERNEL (f3p from_feature); the
+        # materialized u_map is only needed for the XLA tie phases
+        u_map = unfold_nhwc(feature) \
+            if self.feat_unfold and excluded else \
+            (None if self.feat_unfold else feature)
         csa_map = (self.cs_attn(feature, flash=True)
                    if self.non_local_attn else None)
         params = {"imnet_k": self.imnet_k.variables["params"],
                   "imnet_v": self.imnet_v.variables["params"],
                   "imnet_q": self.imnet_q.variables["params"]}
-        eligible, excluded = rational_phase_split(h, w, py, qy, px, qx,
-                                                  self.local_size)
         fused = grid_decode_fused_rational(
-            u_map, csa_map, params, py, qy, px, qx,
+            None if self.feat_unfold else u_map, csa_map, params,
+            py, qy, px, qx,
             local_size=self.local_size, softmax_scale=self.softmax_scale,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            feature=feature if self.feat_unfold else None)
         parts = fused.reshape(b, len(eligible), kh, kw, 3).transpose(
             1, 0, 2, 3, 4)                             # (n_e,B,kh,kw,3)
         order = list(eligible)
@@ -599,13 +605,16 @@ class CiaoSRNet(nn.Module):
         as extra grid instances."""
         import jax
 
-        from ciaosr_tpu.ops.neighborhood import unfold_nhwc
         from ciaosr_tpu.ops.pallas.decoder_kernel import grid_decode_fused
         from ciaosr_tpu.ops.sampling import interpolate_bilinear
 
         s = int(scale)
         b, h, w, _ = feature.shape
-        u_map = unfold_nhwc(feature) if self.feat_unfold else feature
+        # the 3×3 unfold runs INSIDE the f3p build kernel on the halo
+        # path (decoder_kernel._f3p_kernel from_feature) — the 9×-blown
+        # u_map never exists in HBM; only the stacked fallback (odd
+        # widths) materializes it (grid_decode_fused handles both)
+        u_map = None if self.feat_unfold else feature
         # value features are concat([u_map, CSA]); the kernel reuses the
         # key planes for the shared prefix, so only CSA planes are passed
         csa_map = (self.cs_attn(feature, flash=True)
@@ -616,7 +625,8 @@ class CiaoSRNet(nn.Module):
         phases = grid_decode_fused(
             u_map, csa_map, params, scale=s, local_size=self.local_size,
             softmax_scale=self.softmax_scale, rows=rows,
-            interpret=jax.default_backend() == "cpu")
+            interpret=jax.default_backend() == "cpu",
+            feature=feature if self.feat_unfold else None)
         img = phases.reshape(b, s, s, h, w, 3).transpose(
             0, 3, 1, 4, 2, 5).reshape(b, s * h, s * w, 3)
         img = img + interpolate_bilinear(x.astype(jnp.float32),

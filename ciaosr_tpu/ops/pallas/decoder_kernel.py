@@ -250,13 +250,15 @@ def _pack_weights(mlp_params, prefix, main_dim, cell_val, n_hidden,
     return out
 
 
-def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
+def grid_decode_fused(u_map: jnp.ndarray | None,
+                      csa_map: jnp.ndarray | None,
                       params: dict, scale: int, local_size: int,
                       softmax_scale: float, rows: int = 4,
                       interpret: bool = False,
                       hoist_kout: bool | None = None,
                       assembly: str | None = None,
-                      phase_inner: bool | None = None) -> jnp.ndarray:
+                      phase_inner: bool | None = None,
+                      feature: jnp.ndarray | None = None) -> jnp.ndarray:
     """Run the fused decoder over all phases.
 
     u_map: (B,H,W,DK) unfolded features (bf16 ok); csa_map: optional
@@ -285,7 +287,11 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
     from ciaosr_tpu.models.ciaosr import shift_offsets
 
     s = int(scale)
-    bsz, h, w, dk = u_map.shape
+    if feature is not None and u_map is None:
+        bsz, h, w, cf = feature.shape
+        dk = 9 * cf
+    else:
+        bsz, h, w, dk = u_map.shape
     dc = 0 if csa_map is None else csa_map.shape[-1]
     dv = dk + dc
     shifts = shift_offsets(local_size)
@@ -296,6 +302,12 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
     halo_ok = w % 8 == 0 and h > 1
     if assembly is None:
         assembly = "halo" if halo_ok else "stacked"
+    if assembly != "halo" and u_map is None:
+        # in-kernel unfold is a halo-assembly mode; the stacked fallback
+        # still needs the materialized unfold
+        from ciaosr_tpu.ops.neighborhood import unfold_nhwc
+        u_map = unfold_nhwc(feature)
+        feature = None
     if hoist_kout is None:
         # stacked path: the DK-wide w̃ plane traffic beats the FLOP cut
         # past DK≈1024 (measured round 1: SwinIR 5.23→4.90). Halo path:
@@ -309,7 +321,7 @@ def grid_decode_fused(u_map: jnp.ndarray, csa_map: jnp.ndarray | None,
         return _grid_decode_halo(u_map, csa_map, params, s, shifts,
                                  n_hidden, cell_val, softmax_scale,
                                  interpret, hoist_kout,
-                                 phase_inner=phase_inner)
+                                 phase_inner=phase_inner, feature=feature)
     if phase_inner:
         raise ValueError("phase_inner grid order is a halo-assembly mode")
 
@@ -533,17 +545,42 @@ def a128(x):
     return -(-x // 128) * 128
 
 
-def _f3p_kernel(u_ref, *rest, dc, hk_p, hv_p, dc_p, dk_pad):
+def _f3p_kernel(u_ref, *rest, dc, hk_p, hv_p, dc_p, dk_pad,
+                from_feature=False):
     """One output row of the merged column-variant map: first-layer
     feature matmuls + lane-pad + segment concat + the three edge-clamped
     column shifts, fused — the XLA construction materialized each step
-    (pad → concat → stack → row-pad ≈ 4 copies of ~190 MB at 192²)."""
-    if dc:
+    (pad → concat → stack → row-pad ≈ 4 copies of ~190 MB at 192²).
+
+    ``from_feature``: the 3×3 unfold itself also runs in-kernel — the
+    three refs are rows y−1/y/y+1 of the zero-row-padded RAW feature
+    (B,H,W,C) and the 9-tap row (W, 9C) is built in VMEM (tap-major,
+    j = tap·C + c, matching ops/neighborhood.unfold_nhwc) — so the 9×
+    unfolded u_map (42 MB at RDN 192², 127 MB at SwinIR) never exists
+    in HBM (reference materializes it: ciaosr_net.py:131-139)."""
+    refs = (u_ref,) + rest
+    if from_feature:
+        if dc:
+            fm1_ref, fc_ref, fp1_ref, c_ref, wk_ref, wvu_ref, wvc_ref, \
+                o_ref = refs
+        else:
+            fm1_ref, fc_ref, fp1_ref, wk_ref, wvu_ref, o_ref = refs
+        rows3 = [fm1_ref[0, 0], fc_ref[0, 0], fp1_ref[0, 0]]
+        cf = rows3[0].shape[-1]
+        zc = jnp.zeros((1, cf), jnp.bfloat16)
+        taps = []
+        for v in rows3:                               # dy = -1, 0, +1
+            v = v.astype(jnp.bfloat16)                # (W, C)
+            taps.append(jnp.concatenate([zc, v[:-1]], axis=0))  # x-1
+            taps.append(v)                                      # x
+            taps.append(jnp.concatenate([v[1:], zc], axis=0))   # x+1
+        u = jnp.concatenate(taps, axis=-1)            # (W, 9C) tap-major
+    elif dc:
         c_ref, wk_ref, wvu_ref, wvc_ref, o_ref = rest
+        u = u_ref[0, 0].astype(jnp.bfloat16)          # (W, dk)
     else:
         wk_ref, wvu_ref, o_ref = rest
-
-    u = u_ref[0, 0].astype(jnp.bfloat16)              # (W, dk)
+        u = u_ref[0, 0].astype(jnp.bfloat16)          # (W, dk)
     w_ = u.shape[0]
 
     def lane_pad(x, to):
@@ -570,22 +607,43 @@ def _f3p_kernel(u_ref, *rest, dc, hk_p, hv_p, dc_p, dk_pad):
     o_ref[0, 2, 0] = jnp.concatenate([m[1:], m[-1:]], axis=0)
 
 
-def _build_f3p(u_map, csa_map, wk0, wvu, wvc, interpret):
+def _build_f3p(u_map, csa_map, wk0, wvu, wvc, interpret, feature=None):
     """Fused build of the halo path's merged map (B,3,H+2,W,lanes):
     row r of the output holds image row clamp(r-1) — the edge clamp is
     the INPUT index map (block row size 1, so block indices address
-    element rows and no Element dims or post-pad copy are needed)."""
-    bsz, h, w, dk = u_map.shape
+    element rows and no Element dims or post-pad copy are needed).
+
+    ``feature``: build from the RAW (B,H,W,C) feature instead — the 3×3
+    zero-padded unfold runs in-kernel (u_map is ignored and never needs
+    to exist; dk = 9·C). The feature is zero-padded by one row host-side
+    so the three row refs (y−1, y, y+1 of image row y = clamp(r−1)) are
+    plain clipped index maps with no edge masking."""
+    if feature is not None:
+        bsz, h, w, cf = feature.shape
+        dk = 9 * cf
+    else:
+        bsz, h, w, dk = u_map.shape
     dc = 0 if csa_map is None else csa_map.shape[-1]
     hk_p, hv_p = a128(wk0.shape[-1]), a128(wvu.shape[-1])
     dc_p = a128(dc) if dc else 0
     dk_pad = a128(dk)
     lanes = hk_p + hv_p + dc_p + dk_pad
 
-    in_specs = [pl.BlockSpec(
-        (1, 1, w, dk),
-        lambda b, r: (b, jnp.clip(r - 1, 0, h - 1), 0, 0))]
-    ops = [u_map]
+    if feature is not None:
+        # fp[i] = feature row i-1 (rows 0 / h+1 are the unfold zero pad)
+        fp = jnp.pad(feature.astype(jnp.bfloat16),
+                     ((0, 0), (1, 1), (0, 0), (0, 0)))
+        in_specs = [
+            pl.BlockSpec((1, 1, w, cf),
+                         lambda b, r, d=d: (b, jnp.clip(r - 1, 0, h - 1)
+                                            + d, 0, 0))
+            for d in range(3)]
+        ops = [fp, fp, fp]
+    else:
+        in_specs = [pl.BlockSpec(
+            (1, 1, w, dk),
+            lambda b, r: (b, jnp.clip(r - 1, 0, h - 1), 0, 0))]
+        ops = [u_map]
     if dc:
         in_specs.append(pl.BlockSpec(
             (1, 1, w, dc),
@@ -599,7 +657,8 @@ def _build_f3p(u_map, csa_map, wk0, wvu, wvc, interpret):
 
     return pl.pallas_call(
         functools.partial(_f3p_kernel, dc=dc, hk_p=hk_p, hv_p=hv_p,
-                          dc_p=dc_p, dk_pad=dk_pad),
+                          dc_p=dc_p, dk_pad=dk_pad,
+                          from_feature=feature is not None),
         grid=(bsz, h + 2),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 3, 1, w, lanes),
@@ -614,7 +673,8 @@ def _build_f3p(u_map, csa_map, wk0, wvu, wvc, interpret):
                 dk * (wk0.shape[-1] + wvu.shape[-1])
                 + dc * wvu.shape[-1]),
             bytes_accessed=bsz * (h + 2) * w * (
-                dk * u_map.dtype.itemsize
+                (6 * cf if feature is not None
+                 else dk * u_map.dtype.itemsize)
                 + (dc * csa_map.dtype.itemsize if dc else 0)
                 + 3 * lanes * 2),
             transcendentals=0),
@@ -1023,13 +1083,14 @@ def rational_halo_supported(h, w, py, qy, px, qx, local_size=2) -> bool:
         len(tabs["phase_ids"]) * 4 >= py * px
 
 
-def grid_decode_fused_rational(u_map: jnp.ndarray,
+def grid_decode_fused_rational(u_map: jnp.ndarray | None,
                                csa_map: jnp.ndarray | None, params: dict,
                                py: int, qy: int, px: int, qx: int,
                                local_size: int, softmax_scale: float,
                                interpret: bool = False,
                                hoist_kout: bool = True,
-                               phase_inner: bool | None = None
+                               phase_inner: bool | None = None,
+                               feature: jnp.ndarray | None = None
                                ) -> jnp.ndarray:
     """Fused dense decode at rational scale (py/qy, px/qx): the halo
     kernel over residue-grouped fetches (section comment above), for the
@@ -1042,7 +1103,11 @@ def grid_decode_fused_rational(u_map: jnp.ndarray,
     unsupported geometries."""
     from ciaosr_tpu.models.ciaosr import shift_offsets
 
-    bsz, h, w, dk = u_map.shape
+    if feature is not None and u_map is None:
+        bsz, h, w, cf = feature.shape
+        dk = 9 * cf
+    else:
+        bsz, h, w, dk = u_map.shape
     if not rational_halo_supported(h, w, py, qy, px, qx, local_size):
         raise ValueError(
             f"rational halo decode unsupported for H={h} W={w} "
@@ -1057,7 +1122,7 @@ def grid_decode_fused_rational(u_map: jnp.ndarray,
                              softmax_scale, interpret, hoist_kout,
                              phase_inner=phase_inner,
                              rational=(py, qy, px, qx),
-                             local_size=local_size)
+                             local_size=local_size, feature=feature)
 
 
 def _residue_rows_index(h, qy, kh):
@@ -1095,7 +1160,8 @@ def _residue_rows_nopad(t, kh, qy, axis):
 
 def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
                       cell_val, softmax_scale, interpret, hoist_kout,
-                      phase_inner=None, rational=None, local_size=2):
+                      phase_inner=None, rational=None, local_size=2,
+                      feature=None):
     """grid_decode_fused with halo-fetched shift planes (see the section
     comment above): ~3× less glue HBM traffic than the stacked path —
     three column variants of one merged plane replace four 9-plane
@@ -1105,7 +1171,11 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
     same kernel decodes rational scales over residue-grouped fetches
     (rational section comment); the kernel body is identical — only the
     host tables, the map permutations, and the index maps change."""
-    bsz, h, w, dk = u_map.shape
+    if feature is not None:
+        bsz, h, w, cf = feature.shape
+        dk = 9 * cf
+    else:
+        bsz, h, w, dk = u_map.shape
     dc = 0 if csa_map is None else csa_map.shape[-1]
     dv = dk + dc
     n_shift = len(shifts)
@@ -1134,7 +1204,7 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
     o_u = hk_p + hv_p + dc_p
     lanes = o_u + a128(dk)
     f3p = _build_f3p(u_map, csa_map, wk0, wv0[:dk],
-                     wv0[dk:] if dc else None, interpret)
+                     wv0[dk:] if dc else None, interpret, feature=feature)
 
     if hoist_kout:
         w_kout_t = params["imnet_k"]["out"]["kernel"].T

@@ -100,7 +100,10 @@ class GANTrainer:
             if eval_fn and eval_interval and step % eval_interval == 0:
                 last_eval = eval_fn(state)
                 print(f"[eval @ {step}] {last_eval}", flush=True)
-            self.ckpt.maybe_save(step, jax.device_get(state), last_eval)
+            # gate BEFORE device_get (see trainer.py): the full-state host
+            # pull is only needed on checkpoint steps
+            if step % self.ckpt.interval == 0:
+                self.ckpt.maybe_save(step, jax.device_get(state), last_eval)
             if step >= total_iters:
                 break
             batch = next(it)

@@ -191,7 +191,11 @@ class Trainer:
                 self.logger.log(step, {f"val_{k}": v
                                        for k, v in last_eval.items()
                                        if isinstance(v, (int, float))})
-            self.ckpt.maybe_save(step, jax.device_get(state), last_eval)
+            # gate BEFORE device_get: pulling the full train state to host
+            # every step (~3 buffers × params) would dominate the step time
+            # on a slow host link, for a hook that fires every `interval`
+            if step % self.ckpt.interval == 0:
+                self.ckpt.maybe_save(step, jax.device_get(state), last_eval)
             if step >= total_iters:
                 break
             batch = next(it)

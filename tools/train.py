@@ -41,6 +41,10 @@ def main():
         jax.distributed.initialize()
 
     import jax
+    from ciaosr_tpu.utils.compilation_cache import enable_compilation_cache
+    enable_compilation_cache()  # crash-and-restart resume (auto-resume,
+    # reference tools/train.py:90-101) must not re-pay the multi-minute
+    # train-step compile on every relaunch
     from ciaosr_tpu.config.config import Config
     from ciaosr_tpu.data.datasets import build_dataset
     from ciaosr_tpu.data.loader import build_dataloader

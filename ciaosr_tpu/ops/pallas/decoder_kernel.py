@@ -49,8 +49,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-# sweep hook for the halo row-block gate (tools/profile_stages.py);
-# None = the measured production gate in _grid_decode_halo
+# Explicit tuning hook: caps the halo kernel's row-block size, overriding
+# the measured production gate in _grid_decode_halo (rmax = 8 for
+# lanes<=1536, else 4 — swept on v5e via tools/sweep_halo_rmax.py).
+# Intended for offline sweeps only; leave None in production code paths.
 _HALO_RMAX_OVERRIDE = None
 
 
@@ -261,10 +263,17 @@ def grid_decode_fused(u_map: jnp.ndarray | None,
                       feature: jnp.ndarray | None = None) -> jnp.ndarray:
     """Run the fused decoder over all phases.
 
-    u_map: (B,H,W,DK) unfolded features (bf16 ok); csa_map: optional
-    (B,H,W,DC) cross-scale-attention features — the value features are
-    concat([u_map, csa_map]) and are never materialized (kernel reuses
-    the key planes for the shared prefix);
+    Feature input — exactly one of ``u_map`` / ``feature``:
+      * ``u_map``: (B,H,W,9C) pre-materialized 3×3 unfold (bf16 ok), or
+      * ``feature``: (B,H,W,C) raw encoder features — the 3×3 unfold then
+        runs in-kernel on the halo path (DK=9C is derived from C), saving
+        the 9× HBM materialization; on the stacked fallback the unfold is
+        materialized here first.
+    Passing both is an error (the halo path would silently ignore
+    ``u_map`` and recompute from ``feature``).
+    csa_map: optional (B,H,W,DC) cross-scale-attention features — the
+    value features are concat([u_map, csa_map]) and are never
+    materialized (kernel reuses the key planes for the shared prefix);
     params: generator params dict with imnet_k/v/q subtrees.
     Returns (B·s², H, W, 3) float32 phase images (pre-residual), image-major
     (image b's phase p at index b·s² + p).
@@ -286,8 +295,12 @@ def grid_decode_fused(u_map: jnp.ndarray | None,
     """
     from ciaosr_tpu.models.ciaosr import shift_offsets
 
+    if (u_map is None) == (feature is None):
+        raise ValueError("pass exactly one of u_map / feature "
+                         f"(got u_map={'set' if u_map is not None else None}, "
+                         f"feature={'set' if feature is not None else None})")
     s = int(scale)
-    if feature is not None and u_map is None:
+    if feature is not None:
         bsz, h, w, cf = feature.shape
         dk = 9 * cf
     else:
@@ -1100,10 +1113,16 @@ def grid_decode_fused_rational(u_map: jnp.ndarray | None,
     (rational_phase_split()[1]) must be decoded via the XLA dense path
     and composed by the caller (query_rgb_grid_rational_pallas). Gate
     with rational_halo_supported() first; raises ValueError on
-    unsupported geometries."""
+    unsupported geometries.
+
+    Feature input — exactly one of ``u_map`` (pre-materialized (B,H,W,9C)
+    unfold) / ``feature`` ((B,H,W,C) raw encoder features, unfolded
+    in-kernel); see grid_decode_fused."""
     from ciaosr_tpu.models.ciaosr import shift_offsets
 
-    if feature is not None and u_map is None:
+    if (u_map is None) == (feature is None):
+        raise ValueError("pass exactly one of u_map / feature")
+    if feature is not None:
         bsz, h, w, cf = feature.shape
         dk = 9 * cf
     else:

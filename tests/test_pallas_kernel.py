@@ -115,6 +115,45 @@ def test_halo_assembly_matches_grid_path(rng, scale, non_local, batch,
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("non_local", [True, False])
+def test_from_feature_unfold_matches_materialized(rng, non_local):
+    """The in-kernel 3×3 unfold (halo f3p build ``from_feature``) must be
+    bit-identical to passing the materialized unfold_nhwc u_map — edge
+    rows/columns included (8×16 exercises the zero-pad boundary in both
+    dims). Pins the decoder_kernel._build_f3p from_feature path directly;
+    the model-level rational tests only cover it indirectly."""
+    net = build_generator(dict(
+        type="LocalImplicitSRRDN",
+        encoder=dict(type="RDN", in_channels=3, mid_channels=16,
+                     num_blocks=2, num_layers=3, channel_growth=8),
+        imnet_q=dict(type="MLPRefiner", out_dim=3, hidden_list=[32, 32]),
+        imnet_k=dict(type="MLPRefiner", out_dim=1, hidden_list=[32, 32]),
+        imnet_v=dict(type="MLPRefiner", out_dim=1, hidden_list=[32, 32]),
+        non_local_attn=non_local))
+    x = jnp.asarray(rng.random((1, 8, 16, 3), dtype=np.float32))
+    params = net.init(jax.random.PRNGKey(0), x, jnp.zeros((1, 8, 2)),
+                      jnp.full((1, 8, 2), 0.1))
+    feat = net.apply(params, x, method="gen_feature")
+    if non_local:
+        csa = CrossScaleAttention(channels=16, scales=(2,))
+        csa_map = csa.apply({"params": params["params"]["cs_attn"]}, feat)
+    else:
+        csa_map = None
+    kw = dict(scale=2, local_size=2, softmax_scale=1.0,
+              interpret=True, assembly="halo")
+    from_u = grid_decode_fused(unfold_nhwc(feat), csa_map,
+                               params["params"], **kw)
+    from_f = grid_decode_fused(None, csa_map, params["params"],
+                               feature=feat, **kw)
+    np.testing.assert_array_equal(np.asarray(from_u), np.asarray(from_f))
+    # passing both (or neither) is a contract violation
+    with pytest.raises(ValueError, match="exactly one"):
+        grid_decode_fused(unfold_nhwc(feat), csa_map, params["params"],
+                          feature=feat, **kw)
+    with pytest.raises(ValueError, match="exactly one"):
+        grid_decode_fused(None, csa_map, params["params"], **kw)
+
+
 @pytest.mark.parametrize("scale,hoist", [(3, True), (3, False), (4, True)])
 def test_halo_phase_inner_matches_phase_outer(rng, scale, hoist):
     """The phase-inner grid permutation (decoder_kernel.py
@@ -372,3 +411,35 @@ def test_csa_fused_admission_decisions():
     # width not 8-aligned → streaming
     mode, _, _ = fused_admission(12, 12, 2, 8, 4, es=4)
     assert mode == "streaming"
+
+
+def test_csa_admission_vmem_budget_derivation(monkeypatch):
+    """The VMEM admission budget derives from the device: measured 85 MiB
+    on 128-MiB-VMEM generations (v4/v5/v6 families, and CPU interpret
+    mode so test decisions mirror production), a conservative fallback on
+    unknown TPU generations (under-admit, never mis-admit), env override
+    wins outright."""
+    import ciaosr_tpu.models.csa as csa_mod
+    from ciaosr_tpu.models.csa import (_VMEM_BUDGET_FALLBACK,
+                                       _VMEM_BUDGET_MEASURED, vmem_budget)
+
+    monkeypatch.delenv("CIAOSR_CSA_VMEM_BUDGET", raising=False)
+    assert vmem_budget() == _VMEM_BUDGET_MEASURED  # cpu/tpu-v5 test env
+
+    class FakeDev:
+        platform = "tpu"
+        device_kind = "TPU v99 mega"
+
+    import jax as _jax
+    monkeypatch.setattr(_jax, "devices", lambda *a: [FakeDev()])
+    assert vmem_budget() == _VMEM_BUDGET_FALLBACK
+    # an unknown generation under-admits: the production RDN geometry
+    # that takes stencil_fused on v5e now falls back, it does not OOM
+    mode, _, _ = csa_mod.fused_admission(192, 192, 2, 64, 32, es=2)
+    assert mode in ("stencil", "windowed", "streaming")
+
+    FakeDev.device_kind = "TPU v6 lite"
+    assert vmem_budget() == _VMEM_BUDGET_MEASURED
+
+    monkeypatch.setenv("CIAOSR_CSA_VMEM_BUDGET", str(7 << 20))
+    assert vmem_budget() == 7 << 20

@@ -52,6 +52,47 @@ def _overlap_add(k_maps: jnp.ndarray, hp: int, wp: int, s: int,
     return out
 
 
+# VMEM admission headroom per TPU generation. The fused CSA kernels were
+# tiled and measured on v5e (128 MiB VMEM/core, ~100 MiB scoped-vmem
+# ceiling in practice); 85 MiB leaves headroom for Mosaic's own buffers.
+# v4/v5p/v6e share the 128 MiB VMEM size, so the same headroom is safe
+# there (tiling *targets* stay v5e-measured — a perf, not correctness,
+# approximation). Unknown TPU generations fall back to a conservative
+# 12 MiB (v2/v3-class cores have 16 MiB) — they under-admit rather than
+# mis-admit. Override: CIAOSR_CSA_VMEM_BUDGET (bytes).
+_VMEM_BUDGET_MEASURED = 85 * 1024 * 1024
+_VMEM_BUDGET_FALLBACK = 12 * 1024 * 1024
+_VMEM_128MIB_KINDS = ("v4", "v5", "v6")  # device_kind substrings
+
+
+def vmem_budget() -> int:
+    """CSA-kernel VMEM admission budget for the current backend."""
+    import os
+    env = os.environ.get("CIAOSR_CSA_VMEM_BUDGET")
+    if env:
+        return int(env)
+    try:
+        import jax
+        dev = jax.devices()[0]
+    except Exception:  # pragma: no cover — uninitialized backend
+        return _VMEM_BUDGET_MEASURED
+    if dev.platform != "tpu":
+        # CPU interpret mode (tests) has no VMEM limit; mirror the
+        # production (v5e) decisions so admission tests pin them
+        return _VMEM_BUDGET_MEASURED
+    kind = getattr(dev, "device_kind", "") or ""
+    if any(g in kind.lower().replace("tpu ", "")
+           for g in _VMEM_128MIB_KINDS):
+        return _VMEM_BUDGET_MEASURED
+    import logging
+    logging.getLogger(__name__).warning(
+        "fused_admission: unknown TPU generation %r — using the "
+        "conservative %d MiB VMEM budget (set CIAOSR_CSA_VMEM_BUDGET "
+        "after sweeping tools/sweep_csa*.py on this hardware)",
+        kind, _VMEM_BUDGET_FALLBACK >> 20)
+    return _VMEM_BUDGET_FALLBACK
+
+
 def fused_admission(hp: int, wp: int, s: int, channels: int, cr: int,
                     es: int, batch: int = 1) -> tuple[str, int | None, int]:
     """Which CSA kernel a geometry gets, with its (rows, tl) tiling.
@@ -70,10 +111,26 @@ def fused_admission(hp: int, wp: int, s: int, channels: int, cr: int,
     element-offset windows and is the last fused resort. ``es`` is the
     compute element size (2 for bf16, 4 for f32) — resident operands
     inherit it.
+
+    The VMEM budget is derived from the device (see vmem_budget()); the
+    decision is logged at DEBUG level.
     """
+    decision = _fused_admission_impl(hp, wp, s, channels, cr, es, batch)
+    import logging
+    logging.getLogger(__name__).debug(
+        "fused_admission(hp=%d, wp=%d, s=%d, C=%d, cr=%d, es=%d, B=%d) "
+        "-> %s (rows=%s, tl=%d, budget=%d MiB)", hp, wp, s, channels, cr,
+        es, batch, decision[0], decision[1], decision[2],
+        vmem_budget() >> 20)
+    return decision
+
+
+def _fused_admission_impl(hp: int, wp: int, s: int, channels: int, cr: int,
+                          es: int, batch: int = 1
+                          ) -> tuple[str, int | None, int]:
     from ciaosr_tpu.ops.pallas.csa_attention import aligned_channels
 
-    budget = 85 * 1024 * 1024
+    budget = vmem_budget()
     rows = [r for r in range(1, 9) if hp % r == 0 and (r * wp) % 8 == 0]
     if not (rows and hp % s == 0 and wp % 8 == 0 and (wp // s) % 8 == 0):
         return "streaming", None, 1024

@@ -113,18 +113,27 @@ def ssim(img1: np.ndarray, img2: np.ndarray, crop_border: int = 0,
 
 
 # ---------------------------------------------------------------------------
-# NIQE (no-reference). Needs pristine MVG parameters fitted offline; the
-# reference ships them as a binary blob (niqe_pris_params.npz). We load them
-# from CIAOSR_NIQE_PARAMS (or an explicit path) rather than vendoring data.
+# NIQE (no-reference). Needs pristine MVG parameters fitted offline — a
+# fitted-constant table (36-dim MVG mean/covariance + 7x7 Gaussian window),
+# vendored at core/data/niqe_pris_params.npz via tools/convert_niqe_params.py
+# from the reference blob (mmedited/core/evaluation/niqe_pris_params.npz,
+# reference metrics.py:13-20). Resolution order: explicit path arg >
+# CIAOSR_NIQE_PARAMS env > vendored default.
 # ---------------------------------------------------------------------------
 
+_VENDORED_NIQE_PARAMS = os.path.join(os.path.dirname(__file__), "data",
+                                     "niqe_pris_params.npz")
+
+
 def _load_niqe_params(path: str | None = None):
-    path = path or os.environ.get("CIAOSR_NIQE_PARAMS")
-    if not path or not os.path.exists(path):
+    path = (path or os.environ.get("CIAOSR_NIQE_PARAMS")
+            or _VENDORED_NIQE_PARAMS)
+    if not os.path.exists(path):
         raise FileNotFoundError(
-            "NIQE pristine parameters not found. Point CIAOSR_NIQE_PARAMS at "
-            "a niqe_pris_params.npz file (mu_pris_param, cov_pris_param, "
-            "gaussian_window).")
+            f"NIQE pristine parameters not found at {path}. Regenerate the "
+            "vendored table with tools/convert_niqe_params.py, or point "
+            "CIAOSR_NIQE_PARAMS at a niqe_pris_params.npz file "
+            "(mu_pris_param, cov_pris_param, gaussian_window).")
     data = np.load(path)
     return (data["mu_pris_param"], data["cov_pris_param"],
             data["gaussian_window"])

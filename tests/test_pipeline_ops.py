@@ -97,7 +97,12 @@ def test_niqe_runs_with_synthetic_params(tmp_path, monkeypatch):
     score = M.niqe(img, crop_border=0, convert_to="y")
     assert np.isfinite(score) and score >= 0
 
+    # without the env var, the VENDORED table makes niqe work
+    # out-of-the-box (round-5: core/data/niqe_pris_params.npz)
     monkeypatch.delenv("CIAOSR_NIQE_PARAMS")
+    assert np.isfinite(M.niqe(img, crop_border=0, convert_to="y"))
+    # explicit missing-table error once the vendored default is gone too
+    monkeypatch.setattr(M, "_VENDORED_NIQE_PARAMS", "/nonexistent/p.npz")
     with pytest.raises(FileNotFoundError):
         M.niqe(img)
 

@@ -247,30 +247,62 @@ class GenerateCoordinateAndCell1(GenerateCoordinateAndCell):
 
 
 @PIPELINES.register(name="GenerateCoordinateAndCell2")
-class GenerateCoordinateAndCell2(GenerateCoordinateAndCell):
-    """Super-sampling-eval variant (generate_assistant.py:105-192): the
-    target grid is derived from the GT size rescaled by scale1/scale."""
+class GenerateCoordinateAndCell2:
+    """Super-sampling-eval variant — exact reference semantics
+    (generate_assistant.py:105-192), shim-parity-tested:
 
-    def __init__(self, sample_quantity=None, scale=1.0, scale1=1.0,
-                 is_shuffle=True):
-        super().__init__(sample_quantity=sample_quantity, scale=None,
-                         target_size=None, is_shuffle=is_shuffle)
-        self.rescale = scale1 / scale
+    * gt present: gt is ALWAYS flattened to (H·W, C) row-major; the target
+      grid is (round(H/scale·scale1), round(W/scale·scale1)) — the
+      reference's two-step arithmetic, kept verbatim because round() on
+      the intermediate differs from round(H·scale1/scale) at float edges.
+    * sampling (sample_quantity set + gt): indices drawn WITHOUT
+      replacement over the TARGET grid length index both coord and the
+      flattened gt — faithful to the reference, including its quirk that
+      gt and the target grid have different lengths when scale1 != scale
+      (IndexError when the target is larger, misaligned pairing when
+      smaller; only scale1 == scale is self-consistent).
+    * no gt: requires target_size (len >= 2), full grid.
+
+    Pure: target size goes to results['target_size'] instead of mutating
+    self (reference defect SURVEY.md §8.10). RNG comes from the pipeline
+    results' generator rather than the legacy np.random global.
+    """
+
+    def __init__(self, sample_quantity=None, scale=None, scale1=None,
+                 target_size=None):
+        self.sample_quantity = sample_quantity
+        self.scale = scale
+        self.scale1 = scale1
+        self.target_size = target_size
 
     def __call__(self, results):
-        if "gt" in results and results["gt"].ndim == 3:
-            h, w = results["gt"].shape[:2]
-            self_target = (round(h * self.rescale), round(w * self.rescale))
-            op = GenerateCoordinateAndCell(
-                sample_quantity=self.sample_quantity,
-                target_size=self_target, is_shuffle=self.is_shuffle)
-            saved = results.pop("gt") if self.sample_quantity is None \
-                else None
-            out = op(results)
-            if saved is not None:
-                out["gt"] = saved
-            return out
-        return super().__call__(results)
+        if "gt" in results:
+            gt = results["gt"]
+            h, w = gt.shape[:2]
+            results["gt"] = np.ascontiguousarray(
+                gt.reshape(-1, gt.shape[-1]))
+            h_lr, w_lr = h / self.scale, w / self.scale
+            target = (round(h_lr * self.scale1), round(w_lr * self.scale1))
+        else:
+            assert self.target_size is not None and \
+                len(self.target_size) >= 2
+            target = tuple(self.target_size[-2:])
+
+        coord = make_coord_np(target)
+        if self.sample_quantity is not None and "gt" in results:
+            rng = _rng(results)
+            sel = rng.choice(len(coord), self.sample_quantity,
+                             replace=False)
+            coord = coord[sel]
+            results["gt"] = np.ascontiguousarray(results["gt"][sel])
+
+        cell = np.ones_like(coord)
+        cell[:, 0] *= 2 / target[-2]
+        cell[:, 1] *= 2 / target[-1]
+        results["coord"] = coord
+        results["cell"] = cell
+        results["target_size"] = target
+        return results
 
 
 @PIPELINES.register(name="RandomCrop")

@@ -54,24 +54,48 @@ class GANLoss:
             else:
                 loss = -jnp.mean(pred)
         elif self.gan_type == "smgan":
-            # soft-mask GAN (gan_loss.py:100-126): MSE against a
-            # Gaussian-blurred mask target (disc/fake) or mask-weighted
-            # MSE (generator). pred and mask must share spatial shape.
+            # soft-mask GAN (gan_loss.py:100-126), shim-parity-tested.
+            # pred NHWC; mask NHWC (any channel count broadcastable).
             target = self.real_label_val if target_is_real \
                 else self.fake_label_val
             if mask is None:
                 loss = jnp.mean((pred - target) ** 2)
-            elif is_disc:
-                if target_is_real:
-                    loss = jnp.mean((pred - target) ** 2)
-                else:
-                    tgt = jax.lax.stop_gradient(
-                        gaussian_blur_71(mask))
-                    loss = jnp.mean((pred - tgt) ** 2)
             else:
-                per_px = (pred - target) ** 2
-                loss = jnp.mean(per_px * mask / jnp.mean(mask))
+                if pred.shape[1:3] != mask.shape[1:3]:
+                    # reference resizes the PREDICTION to the mask size,
+                    # bilinear align_corners=True (gan_loss.py:106-113)
+                    pred = _interp_bilinear_align_corners(
+                        pred, mask.shape[1], mask.shape[2])
+                if is_disc and not target_is_real:
+                    tgt = jax.lax.stop_gradient(gaussian_blur_71(mask))
+                    loss = jnp.mean((pred - tgt) ** 2)
+                else:
+                    # reference quirk (gan_loss.py:124-126): the generator
+                    # branch computes the MEAN MSE (a scalar) then
+                    # multiplies by mask/mask.mean() and means AGAIN —
+                    # the mask weighting cancels identically, leaving
+                    # plain MSE. Kept verbatim for parity.
+                    loss = jnp.mean((pred - target) ** 2)
         return loss if is_disc else loss * self.loss_weight
+
+
+def _interp_bilinear_align_corners(x: jnp.ndarray, out_h: int,
+                                   out_w: int) -> jnp.ndarray:
+    """NHWC bilinear resize with align_corners=True (the F.interpolate
+    mode the reference smgan path uses, gan_loss.py:106-113); src coord =
+    dst · (in−1)/(out−1)."""
+    h, w = x.shape[1:3]
+    ys = jnp.linspace(0.0, h - 1, out_h)
+    xs = jnp.linspace(0.0, w - 1, out_w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[None, :, None, None]
+    wx = (xs - x0)[None, None, :, None]
+    rows0, rows1 = x[:, y0], x[:, y1]
+    g = lambda r: r[:, :, x0] * (1 - wx) + r[:, :, x1] * wx
+    return g(rows0) * (1 - wy) + g(rows1) * wy
 
 
 def gaussian_blur_71(mask: jnp.ndarray, kernel_size: int = 71,

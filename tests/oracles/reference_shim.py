@@ -426,3 +426,17 @@ def load_reference_perceptual():
     _loaded["perceptual_loss"] = importlib.import_module(
         "mmedited.models.losses.perceptual_loss")
     return types.SimpleNamespace(**_loaded)
+
+
+def load_reference_aux():
+    """Import the reference's generate_assistant (GCC1/GCC2) and gan_loss
+    (GANLoss incl. smgan + GaussianBlur) modules (memoized). Returns a
+    namespace also containing everything from load_reference()."""
+    load_reference()
+    if "generate_assistant" not in _loaded:
+        import importlib
+        _loaded["generate_assistant"] = importlib.import_module(
+            "mmedited.datasets.pipelines.generate_assistant")
+        _loaded["gan_loss"] = importlib.import_module(
+            "mmedited.models.losses.gan_loss")
+    return types.SimpleNamespace(**_loaded)

@@ -113,7 +113,13 @@ def main():
     except Exception:
         pass   # headline stands without the sidecar
 
-    rec["vs_baseline"] = round(mps / REFERENCE_GPU_MPS_ESTIMATE, 2)
+    # The reference publishes NO throughput (BASELINE.md), so any ratio
+    # rides an estimated denominator. mfu_pct above is the defensible
+    # efficiency number; the ratio is demoted to the record's tail under
+    # its honest name. "vs_baseline" is kept as a duplicate key ONLY
+    # because the driver's schema requires it.
+    rec["vs_estimated_baseline"] = round(mps / REFERENCE_GPU_MPS_ESTIMATE, 2)
+    rec["vs_baseline"] = rec["vs_estimated_baseline"]
     rec["baseline_note"] = ("denominator is an ESTIMATE (reference "
                             "publishes no throughput; see header) — "
                             "mfu_pct is the defensible number")

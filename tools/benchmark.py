@@ -50,6 +50,28 @@ def build(model: str, dtype="bf16", use_pallas=None):
     return CiaoSRRestorer(generator=gen, test_cfg=dict(metrics=["PSNR"]))
 
 
+PEAK_BF16_TFLOPS = 197.0   # TPU v5e (v5 lite) bf16 peak
+
+
+def cost_mfu(jitted, dt, *args):
+    """XLA's own FLOP count for the compiled program over measured wall
+    time vs v5e bf16 peak — same methodology as bench.py:79-88 (Pallas
+    custom-call FLOPs counted via CostEstimate). Returns {} where cost
+    analysis is unavailable (non-TPU backends)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops <= 0:
+            return {}
+        achieved = flops / dt / 1e12
+        return {"achieved_tflops": round(achieved, 2),
+                "mfu_pct": round(100.0 * achieved / PEAK_BF16_TFLOPS, 2)}
+    except Exception:
+        return {}
+
+
 def bench_fn(fn, *args, iters=15):
     import jax  # noqa: F401
     out = fn(*args)
@@ -118,8 +140,12 @@ def main():
         mps = (args.tile * p_ // q_) ** 2 / 1e6 / dt
         results[f"x{s_str}_ms"] = round(dt * 1e3, 1)
         results[f"x{s_str}_mps"] = round(mps, 2)
-        print(f"x{s_str}: {dt * 1e3:7.1f} ms/tile  {mps:7.2f} MP/s",
-              flush=True)
+        eff = cost_mfu(fn, dt, params, lq)
+        for k, v in eff.items():
+            results[f"x{s_str}_{k}"] = v
+        print(f"x{s_str}: {dt * 1e3:7.1f} ms/tile  {mps:7.2f} MP/s"
+              + (f"  ({eff['achieved_tflops']} TF/s, "
+                 f"{eff['mfu_pct']}% MFU)" if eff else ""), flush=True)
 
     if args.train:
         from ciaosr_tpu.train.optim import build_optimizer
@@ -157,8 +183,16 @@ def main():
         dt = (time.perf_counter() - t0) / iters
         results["train_step_ms"] = round(dt * 1e3, 1)
         results["train_iters_per_s"] = round(1.0 / dt, 2)
+        eff = cost_mfu(step_fn, dt, state, batch)
+        for k, v in eff.items():
+            results[f"train_{k}"] = v
+        results["train_compute_dtype"] = "f32"  # 001 recipe trains f32;
+        # mfu_pct is against the bf16 peak for cross-row comparability
         print(f"train step (b{b}, {patch}px, {q}q): {dt * 1e3:.1f} ms "
-              f"({1 / dt:.2f} it/s)", flush=True)
+              f"({1 / dt:.2f} it/s)"
+              + (f"  ({eff['achieved_tflops']} TF/s, "
+                 f"{eff['mfu_pct']}% MFU-bf16peak)" if eff else ""),
+              flush=True)
 
     if args.gan:
         import ciaosr_tpu.models.real_restorer as rr
@@ -225,10 +259,16 @@ def main():
         results["gan_step_ms"] = round(dt * 1e3, 1)
         results["gan_iters_per_s"] = round(1.0 / dt, 2)
         results["gan_perceptual"] = bool(args.perceptual)
+        eff = cost_mfu(step_fn, dt, state, batch)
+        for k, v in eff.items():
+            results[f"gan_{k}"] = v
         tag = "with VGG19 perceptual" if args.perceptual \
             else "no perceptual"
         print(f"GAN G+D step (b{b}, {hw}px, {q}q, {tag}): "
-              f"{dt * 1e3:.1f} ms ({1 / dt:.2f} it/s)", flush=True)
+              f"{dt * 1e3:.1f} ms ({1 / dt:.2f} it/s)"
+              + (f"  ({eff['achieved_tflops']} TF/s, "
+                 f"{eff['mfu_pct']}% MFU-bf16peak)" if eff else ""),
+              flush=True)
 
     if args.json:
         with open(args.json, "w") as f:

@@ -817,8 +817,10 @@ def _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u, h, w, bsz, h_last,
 def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, q_ref,
                         rely_ref, relx_ref, w_refs, out_ref, *, n_shift,
                         n_hidden, softmax_scale, rows, width, dk, dc,
-                        hk_p, hv_p, hoist_kout, phase_inner=False):
+                        hk_p, hv_p, hoist_kout, phase_inner=False,
+                        tie_y=False, tie_x=False, variants=((0, 0),)):
     n = rows * width
+    n_var = len(variants)
     weights = {k: r[...] for k, r in w_refs.items()}
     hk = weights["k_b0"].shape[-1]
     p_idx = pl.program_id(2) if phase_inner else pl.program_id(1)
@@ -873,14 +875,53 @@ def _decode_kernel_halo(sel_ref, main_refs, wt_refs, ck_refs, q_ref,
         wk_all = _mm(hk_all.astype(jnp.bfloat16),
                      weights["k_wout"]) + weights["k_bout"]   # (S·N, DK)
 
+    # tie-group blending masks (εy per row / εx per column, appended as
+    # the n_shift-th rel row): variant weight = Π axis (ε or 1−ε) — the
+    # masks are exact {0,1}, so the weighted sum IS the per-row/col
+    # window selection
+    if tie_y or tie_x:
+        ones = jnp.ones((rows, width), jnp.float32)
+        if tie_y:
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0)
+            my = jnp.zeros((rows, width), jnp.float32)
+            for r in range(rows):
+                ey = rely_ref[p_idx, n_shift, i_blk * rows + r]
+                my = jnp.where(row_ids == r, ey, my)
+        else:
+            my = None
+        mx = jnp.broadcast_to(relx_ref[0, n_shift, :][None, :],
+                              (rows, width)) if tie_x else None
+        var_w = []
+        for vy, vx in variants:
+            wgt = ones
+            if tie_y:
+                wgt = wgt * (my if vy else (1.0 - my))
+            if tie_x:
+                wgt = wgt * (mx if vx else (1.0 - mx))
+            # keep (rows, width): Mosaic can't reshape a 2-D map to
+            # (n, 1) (lane-dim change); blends broadcast [:, :, None]
+            # then collapse 3D→2D like the rel maps
+            var_w.append(wgt)
+
     logits, pred_as, pred_bs = [], [], []
     for sft in range(n_shift):
         sl = slice(sft * n, (sft + 1) * n)
         x_k = tiles[sft][:, o_u:o_u + dk].astype(jnp.float32)
         if hoist_kout:
-            wt = wt_refs[sft][0].reshape(n, -1).astype(jnp.float32)
-            ck = jnp.sum(ck_refs[sft][0].reshape(n, 8), axis=-1,
-                         keepdims=True)
+            if n_var == 1:
+                wt = wt_refs[sft][0].reshape(n, -1).astype(jnp.float32)
+                ck = jnp.sum(ck_refs[sft][0].reshape(n, 8), axis=-1,
+                             keepdims=True)
+            else:
+                wt3 = ck3 = 0.0
+                for v in range(n_var):
+                    wv = var_w[v][:, :, None]
+                    wt3 = wt3 + wv * wt_refs[sft * n_var + v][0] \
+                        .astype(jnp.float32)
+                    ck3 = ck3 + wv * ck_refs[sft * n_var + v][0] \
+                        .astype(jnp.float32)
+                wt = wt3.reshape(n, -1)
+                ck = jnp.sum(ck3.reshape(n, 8), axis=-1, keepdims=True)
             logits.append(jnp.sum(wt * hk_all[sl], axis=-1, keepdims=True)
                           + ck)
         else:
@@ -955,64 +996,100 @@ def _axis_decomp(n, tn, p, q, local_size):
     PER PHASE.
 
     Returns (ok (p,) bool, mq (p,) int64 query bases, {sign: (ts (p,)
-    int64 shifted bases, rel (p, n/q) float32 rel rows)}) — phase a is ok
-    when its query indices equal mq[a] + q·k and every sign's indices
-    equal clip(ts + q·k, 0, n−1) with |ts − mq[a]| ≤ 1.
+    int64 shifted bases, rel (p, n/q) float32 rel rows)}, tie (p,) bool,
+    eps (p, n/q) float32) — phase a is ok when its query indices equal
+    mq[a] + q·k and every sign's indices equal clip(ts + q·k, 0, n−1)
+    with |ts − mq[a]| ≤ 1.
 
-    Phases can FAIL the affine form: a scale whose HR pixel centers land
-    exactly between two LR pixels (every even-q scale has one such phase,
-    e.g. ×2.5 phase a=2) resolves the tie per-row from float32 rounding
-    noise — an irregular ±1 pattern no strided window can fetch. Those
-    phases decode via the XLA dense path instead (hybrid composition in
-    query_rgb_grid_rational_pallas); the shifted samples carry a +1e-6
-    tie-break epsilon (ciaosr_net.py:159-173) and stay affine."""
+    Phases can FAIL the strict affine form: a scale whose HR pixel
+    centers land exactly between two LR pixels (every even-q scale has
+    one such phase, e.g. ×2.5 phase a=2) resolves the tie per-row from
+    float32 rounding noise — an irregular ±1 pattern no single strided
+    window can fetch. The shifted samples carry a +1e-6 tie-break
+    epsilon (ciaosr_net.py:159-173) and STAY affine; only the query
+    index jitters, as mq[a] + q·k + eps with eps ∈ {0,1} per row
+    (verified here). Such phases get ``tie[a]=True`` with the per-row
+    selection mask in ``eps[a]`` and mq[a] = the LOW base — the fused
+    kernel fetches both query-base window variants and blends by the
+    mask (round-5 quad-window tie fetches). Phases that fit neither
+    form (none observed; defensive) stay not-ok, not-tie and decode via
+    the XLA dense path."""
     from ciaosr_tpu.models.ciaosr import _grid_axis_tables
 
     tab = _grid_axis_tables(n, tn, p, local_size)
     nk = n // q
     base = q * np.arange(nk, dtype=np.int64)
     ok = np.ones(p, bool)
+    tie = np.zeros(p, bool)
+    eps = np.zeros((p, nk), np.float32)
     mq = np.zeros(p, np.int64)
     for a in range(p):
-        m0 = int(tab["q"][a][0])
-        if 0 <= m0 < q and np.array_equal(tab["q"][a], m0 + base):
+        iq = np.asarray(tab["q"][a])
+        m0 = int(iq[0])
+        if 0 <= m0 < q and np.array_equal(iq, m0 + base):
             mq[a] = m0
-        else:
-            ok[a] = False
+            continue
+        ok[a] = False
+        # tie candidate: query base jitters between m_lo and m_lo+1
+        resid = iq - base
+        m_lo = int(resid.min())
+        e = resid - m_lo
+        if 0 <= m_lo < q and np.isin(e, (0, 1)).all():
+            tie[a] = True
+            mq[a] = m_lo
+            eps[a] = e.astype(np.float32)
     out = {}
     for sign, (idxs, rels) in ((k, v) for k, v in tab.items() if k != "q"):
         ts = np.zeros(p, np.int64)
         rel = np.zeros((p, nk), np.float32)
         for a in range(p):
             rel[a] = np.asarray(rels[a], np.float32)
-            if not ok[a]:
+            if not (ok[a] or tie[a]):
                 continue
-            for cand in (mq[a] - 1, mq[a], mq[a] + 1):
+            # tie phases additionally need the shifted base within ±1 of
+            # BOTH query-base variants, i.e. ts ∈ {m_lo, m_lo+1}
+            cands = (mq[a], mq[a] + 1) if tie[a] else \
+                (mq[a] - 1, mq[a], mq[a] + 1)
+            for cand in cands:
                 if np.array_equal(idxs[a],
                                   np.clip(cand + base, 0, n - 1)):
                     ts[a] = cand
                     break
             else:
                 ok[a] = False
+                tie[a] = False
         out[sign] = (ts, rel)
-    return ok, mq, out
+    return ok, mq, out, tie, eps
 
 
 @functools.lru_cache(maxsize=64)
-def _rational_tables(h, w, py, qy, px, qx, local_size):
+def _rational_tables(h, w, py, qy, px, qx, local_size, tie_sig=(0, 0)):
     """Per-(phase, shift) fetch descriptors for the residue-grouped halo
-    decode at rational scale (py/qy, px/qx), restricted to the
-    fused-ELIGIBLE phases (affine per-axis tables, _axis_decomp), or
-    None when no phase is eligible. ``phase_ids``/``excluded`` partition
-    the py·px phase set — excluded phases (float32 tie rows) decode via
-    the XLA dense path. All entries host numpy."""
+    decode at rational scale (py/qy, px/qx), restricted to the phases of
+    one TIE SIGNATURE group — tie_sig=(ty, tx) selects phases whose
+    y-axis (x-axis) query base is affine (0) or jittering-by-one (1, see
+    _axis_decomp) — or None when the group is empty. ``phase_ids`` lists
+    the group's phases; ``excluded`` (only meaningful on the (0,0) call)
+    lists phases NO group can fuse. All entries host numpy.
+
+    Tie groups additionally carry: per-phase query-window variant bases
+    into the residue-grouped wt/ck maps — element rows ``wt_row_el``
+    (n_e, 2) [A=low base, B=low+1] and element cols ``wt_col_el``
+    (n_e, 2) — and the per-row/col selection masks ``epsy`` (n_e, kh) /
+    ``epsx`` (n_e, kw). An x-axis base wrap (m_lo+1 == qx) cannot be
+    fetched (sublane starts must be 8-aligned) and drops the phase to
+    the XLA path; a y wrap is expressible (element-granularity row
+    starts) and allowed."""
     from ciaosr_tpu.models.ciaosr import shift_offsets
 
     shifts = shift_offsets(local_size)
-    oky, mqy, ytab = _axis_decomp(h, h * py // qy, py, qy, local_size)
-    okx, mqx, xtab = _axis_decomp(w, w * px // qx, px, qx, local_size)
+    oky, mqy, ytab, tiey, epsy_t = _axis_decomp(
+        h, h * py // qy, py, qy, local_size)
+    okx, mqx, xtab, tiex, epsx_t = _axis_decomp(
+        w, w * px // qx, px, qx, local_size)
     kh, kw = h // qy, w // qx
     all_phases = [(a, b) for a in range(py) for b in range(px)]
+    ty_sig, tx_sig = tie_sig
 
     def shift_ok(a, b):
         for vy, vx in shifts:
@@ -1023,13 +1100,25 @@ def _rational_tables(h, w, py, qy, px, qx, local_size):
                 return False
         return True
 
-    eligible = [(a, b) for a, b in all_phases
-                if oky[a] and okx[b] and shift_ok(a, b)]
-    excluded = [p for p in all_phases if p not in set(eligible)]
-    if not eligible:
+    def y_fusable(a):
+        return oky[a] or tiey[a]
+
+    def x_fusable(b):
+        # x-axis tie needs the high-base variant at an 8-aligned sublane
+        # start: base m_lo+1 must stay within the residue groups (no wrap)
+        return okx[b] or (tiex[b] and int(mqx[b]) + 1 < qx)
+
+    group = [(a, b) for a, b in all_phases
+             if y_fusable(a) and x_fusable(b) and shift_ok(a, b)
+             and bool(tiey[a]) == bool(ty_sig)
+             and bool(tiex[b]) == bool(tx_sig)]
+    fusable = {(a, b) for a, b in all_phases
+               if y_fusable(a) and x_fusable(b) and shift_ok(a, b)}
+    excluded = [p for p in all_phases if p not in fusable]
+    if not group:
         return None
 
-    n_e, n_s = len(eligible), len(shifts)
+    n_e, n_s = len(group), len(shifts)
     cv = np.zeros((n_e, n_s), np.int32)
     row_base = np.zeros((n_e, n_s), np.int32)
     wt_plane = np.zeros((n_e, n_s), np.int32)
@@ -1038,8 +1127,28 @@ def _rational_tables(h, w, py, qy, px, qx, local_size):
     relx = np.zeros((n_e, n_s, kw), np.float32)
     ma = np.zeros(n_e, np.int32)
     mb = np.zeros(n_e, np.int32)
-    for pidx, (a, b) in enumerate(eligible):
+    wt_row_el = np.zeros((n_e, 2), np.int32)
+    wt_col_el = np.zeros((n_e, 2), np.int32)
+    epsy = np.zeros((n_e, kh), np.float32)
+    epsx = np.zeros((n_e, kw), np.float32)
+    for pidx, (a, b) in enumerate(group):
         ma[pidx], mb[pidx] = mqy[a], mqx[b]
+        # query-window variant bases (element-granularity, residue-major
+        # nopad layout: LR row m+qy·k lives in group m%qy, inner row
+        # (m - m%qy)//qy + k)
+        my, mx = int(mqy[a]), int(mqx[b])
+        wt_row_el[pidx, 0] = (my % qy) * kh + my // qy
+        yb = my + (1 if tiey[a] else 0)
+        wt_row_el[pidx, 1] = (yb % qy) * kh + yb // qy
+        # columns carry the RESIDUE only (inner offset is 0 — x wraps are
+        # excluded); the index map multiplies by kw, a static multiple of
+        # 8, so Mosaic can prove the sublane start aligned (a raw SMEM
+        # scalar cannot be)
+        wt_col_el[pidx, 0] = mx % qx
+        xb = mx + (1 if tiex[b] else 0)
+        wt_col_el[pidx, 1] = xb % qx
+        epsy[pidx] = epsy_t[a]
+        epsx[pidx] = epsx_t[b]
         for si, (vy, vx) in enumerate(shifts):
             tsy, ry = ytab[int(np.sign(vy))]
             tsx, rx = xtab[int(np.sign(vx))]
@@ -1057,32 +1166,49 @@ def _rational_tables(h, w, py, qy, px, qx, local_size):
             col_start[pidx, si] = rxr    # column RESIDUE; index maps
             # multiply by kw (a static multiple of 8) so Mosaic can prove
             # the sublane start 8-aligned — a raw SMEM scalar cannot be
+            # (plane index relative to the LOW query base; the high-base
+            # variants are planeA-3 / planeA-1 / planeA-4, in-range
+            # because tie-axis dy,dx ∈ {0,1} relative to the low base)
             wt_plane[pidx, si] = (dy + 1) * 3 + (dx + 1)
             rely[pidx, si] = ry[a]
             relx[pidx, si] = rx[b]
     return dict(cv=cv, row_base=row_base, wt_plane=wt_plane,
                 col_start=col_start, rely=rely, relx=relx, ma=ma, mb=mb,
-                phase_ids=tuple(eligible), excluded=tuple(excluded))
+                wt_row_el=wt_row_el, wt_col_el=wt_col_el,
+                epsy=epsy, epsx=epsx,
+                phase_ids=tuple(group), excluded=tuple(excluded))
+
+
+# tie-signature groups, in the fixed call/concatenation order
+_TIE_SIGS = ((0, 0), (0, 1), (1, 0), (1, 1))
 
 
 def rational_phase_split(h, w, py, qy, px, qx, local_size=2):
     """(eligible, excluded) phase-id partition for the hybrid rational
-    decode — eligible phases ride the fused kernel, excluded ones (tie
-    phases) the XLA dense path. Host-only, cached."""
-    tabs = _rational_tables(h, w, py, qy, px, qx, local_size)
-    if tabs is None:
+    decode — eligible phases ride the fused kernel (in the order the
+    tie-signature group calls concatenate: affine, x-tie, y-tie, quad),
+    excluded ones the XLA dense path. Round 5: tie phases fuse via
+    query-window variant blending, so on typical geometries excluded is
+    empty. Host-only, cached."""
+    eligible: list = []
+    excluded = None
+    for sig in _TIE_SIGS:
+        tabs = _rational_tables(h, w, py, qy, px, qx, local_size, sig)
+        if tabs is not None:
+            eligible += list(tabs["phase_ids"])
+            excluded = tabs["excluded"]
+    if excluded is None:
         all_p = tuple((a, b) for a in range(py) for b in range(px))
         return (), all_p
-    return tabs["phase_ids"], tabs["excluded"]
+    return tuple(eligible), tuple(excluded)
 
 
 def rational_halo_supported(h, w, py, qy, px, qx, local_size=2) -> bool:
     """True when grid_decode_fused_rational can fuse this geometry (host
     check — no tracing): constraints hold and at least a quarter of the
-    phases are fused-eligible (the rest decode via the XLA dense path;
-    even-q scales structurally exclude their tie row+column phases —
-    (2p−1)/p², e.g. 5/9 at ×1.5 — and the hybrid still wins at f=1/4:
-    cost ≈ 1 − 0.65·f of XLA-only). Integer scales should use
+    phases are fused-eligible (any remainder decodes via the XLA dense
+    path; since the round-5 tie-fetch extension the typical even-q
+    geometry fuses ALL phases). Integer scales should use
     grid_decode_fused."""
     if qy == 1 and qx == 1:
         return False
@@ -1091,9 +1217,8 @@ def rational_halo_supported(h, w, py, qy, px, qx, local_size=2) -> bool:
     kh, kw = h // qy, w // qx
     if w % 8 or kw % 8 or kh < 2:
         return False
-    tabs = _rational_tables(h, w, py, qy, px, qx, local_size)
-    return tabs is not None and \
-        len(tabs["phase_ids"]) * 4 >= py * px
+    eligible, _ = rational_phase_split(h, w, py, qy, px, qx, local_size)
+    return len(eligible) * 4 >= py * px
 
 
 def grid_decode_fused_rational(u_map: jnp.ndarray | None,
@@ -1107,13 +1232,17 @@ def grid_decode_fused_rational(u_map: jnp.ndarray | None,
                                ) -> jnp.ndarray:
     """Fused dense decode at rational scale (py/qy, px/qx): the halo
     kernel over residue-grouped fetches (section comment above), for the
-    fused-ELIGIBLE phases only. Returns (B·n_eligible, H/qy, W/qx, 3)
-    phase images, image-major, in rational_phase_split() order —
-    phase (a,b) covers HR pixels [py·k + a, px·j + b]. Tie phases
-    (rational_phase_split()[1]) must be decoded via the XLA dense path
-    and composed by the caller (query_rgb_grid_rational_pallas). Gate
-    with rational_halo_supported() first; raises ValueError on
-    unsupported geometries.
+    fused-eligible phases — since round 5 that includes TIE phases
+    (query-base jitter, _axis_decomp), fused via per-phase-group kernel
+    calls with dual/quad query-window fetches blended by the per-row/col
+    masks. Returns (B·n_eligible, H/qy, W/qx, 3) phase images,
+    image-major, in rational_phase_split() order — phase (a,b) covers HR
+    pixels [py·k + a, px·j + b]. Any excluded phases
+    (rational_phase_split()[1], e.g. x-axis base wraps) must be decoded
+    via the XLA dense path and composed by the caller
+    (query_rgb_grid_rational_pallas). Gate with
+    rational_halo_supported() first; raises ValueError on unsupported
+    geometries.
 
     Feature input — exactly one of ``u_map`` (pre-materialized (B,H,W,9C)
     unfold) / ``feature`` ((B,H,W,C) raw encoder features, unfolded
@@ -1132,16 +1261,36 @@ def grid_decode_fused_rational(u_map: jnp.ndarray | None,
             f"rational halo decode unsupported for H={h} W={w} "
             f"scale=({py}/{qy}, {px}/{qx}) (need q|size, W%8==0, "
             f"(W/qx)%8==0, H/qy>=2, affine-expressible tables)")
+    # tie groups need the k-out hoist (query-side data lives in the wt/ck
+    # planes, which is where the variant windows are fetched); without it
+    # only the affine group decodes — callers passing hoist_kout=False
+    # (tests) must use tie-free geometries
+    sigs = _TIE_SIGS if hoist_kout else ((0, 0),)
     n_hidden = len([k for k in params["imnet_k"] if k.startswith("layers")])
     th, tw = (h // qy) * py, (w // qx) * px
     cell = (float(np.float32(2.0) / np.float32(th)) * h,
             float(np.float32(2.0) / np.float32(tw)) * w)
-    return _grid_decode_halo(u_map, csa_map, params, None,
-                             shift_offsets(local_size), n_hidden, cell,
-                             softmax_scale, interpret, hoist_kout,
-                             phase_inner=phase_inner,
-                             rational=(py, qy, px, qx),
-                             local_size=local_size, feature=feature)
+    kh, kw = h // qy, w // qx
+    shared: dict = {}   # f3p/wt9/ck9 built once, shared across groups
+    outs = []
+    n_total = 0
+    for sig in sigs:
+        tabs = _rational_tables(h, w, py, qy, px, qx, local_size, sig)
+        if tabs is None:
+            continue
+        out = _grid_decode_halo(u_map, csa_map, params, None,
+                                shift_offsets(local_size), n_hidden, cell,
+                                softmax_scale, interpret, hoist_kout,
+                                phase_inner=phase_inner,
+                                rational=(py, qy, px, qx),
+                                local_size=local_size, feature=feature,
+                                tie_sig=sig, _shared=shared)
+        n_i = len(tabs["phase_ids"])
+        n_total += n_i
+        outs.append(out.reshape(bsz, n_i, kh, kw, 3))
+    if len(outs) == 1:
+        return outs[0].reshape(bsz * n_total, kh, kw, 3)
+    return jnp.concatenate(outs, axis=1).reshape(bsz * n_total, kh, kw, 3)
 
 
 def _residue_rows_index(h, qy, kh):
@@ -1180,7 +1329,7 @@ def _residue_rows_nopad(t, kh, qy, axis):
 def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
                       cell_val, softmax_scale, interpret, hoist_kout,
                       phase_inner=None, rational=None, local_size=2,
-                      feature=None):
+                      feature=None, tie_sig=(0, 0), _shared=None):
     """grid_decode_fused with halo-fetched shift planes (see the section
     comment above): ~3× less glue HBM traffic than the stacked path —
     three column variants of one merged plane replace four 9-plane
@@ -1189,7 +1338,15 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
     runs the k-out layer in-kernel). With ``rational=(py,qy,px,qx)`` the
     same kernel decodes rational scales over residue-grouped fetches
     (rational section comment); the kernel body is identical — only the
-    host tables, the map permutations, and the index maps change."""
+    host tables, the map permutations, and the index maps change.
+
+    ``tie_sig`` (rational only) selects one tie-signature phase group
+    (see _rational_tables): tie axes fetch 2 (one axis) or 4 (both)
+    query-window variants of the hoisted wt/ck planes per shift —
+    element-granularity windows at the low/high query bases — and the
+    kernel blends them by the per-row (εy) / per-column (εx) masks
+    appended to rely/relx. ``_shared`` caches f3p/wt9/ck9 (post residue
+    permute) across the per-group calls of one decode."""
     if feature is not None:
         bsz, h, w, cf = feature.shape
         dk = 9 * cf
@@ -1222,36 +1379,58 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
     dc_p = a128(dc) if dc else 0
     o_u = hk_p + hv_p + dc_p
     lanes = o_u + a128(dk)
-    f3p = _build_f3p(u_map, csa_map, wk0, wv0[:dk],
-                     wv0[dk:] if dc else None, interpret, feature=feature)
-
-    if hoist_kout:
-        w_kout_t = params["imnet_k"]["out"]["kernel"].T
-        b_kout = params["imnet_k"]["out"]["bias"]
-        h_last = w_kout_t.shape[-1]
-        wt9, ck9 = _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u, h, w,
-                                    bsz, h_last, interpret)
-
-    if rational is not None:
-        # residue-major permutations (rational section comment): f3p rows
-        # regroup into qy edge-padded groups of kh, columns into qx
-        # groups of kw; wt/ck planes (built on the original layout —
-        # their (dy,dx) products need ORIGINAL adjacency) permute the
-        # same way without pads (query fetches never clamp)
-        ridx = _residue_rows_index(h, qy, kh)
-        f3p = jnp.take(f3p, jnp.asarray(ridx), axis=2)
-        f3p = _residue_cols(f3p, kw, qx, axis=3)
+    if _shared and "f3p" in _shared:
+        f3p = _shared["f3p"]
         if hoist_kout:
-            wt9 = _residue_cols(_residue_rows_nopad(wt9, kh, qy, 1),
-                                kw, qx, 2)
-            ck9 = _residue_cols(_residue_rows_nopad(ck9, kh, qy, 1),
-                                kw, qx, 2)
-        tabs = _rational_tables(h, w, py, qy, px, qx, local_size)
+            wt9, ck9 = _shared["wt9"], _shared["ck9"]
+            h_last = wt9.shape[-1]
+    else:
+        f3p = _build_f3p(u_map, csa_map, wk0, wv0[:dk],
+                         wv0[dk:] if dc else None, interpret,
+                         feature=feature)
+
+        if hoist_kout:
+            w_kout_t = params["imnet_k"]["out"]["kernel"].T
+            b_kout = params["imnet_k"]["out"]["bias"]
+            h_last = w_kout_t.shape[-1]
+            wt9, ck9 = _wt_hoist_planes(f3p, w_kout_t, b_kout, dk, o_u,
+                                        h, w, bsz, h_last, interpret)
+
+        if rational is not None:
+            # residue-major permutations (rational section comment): f3p
+            # rows regroup into qy edge-padded groups of kh, columns into
+            # qx groups of kw; wt/ck planes (built on the original layout
+            # — their (dy,dx) products need ORIGINAL adjacency) permute
+            # the same way without pads (query fetches never clamp)
+            ridx = _residue_rows_index(h, qy, kh)
+            f3p = jnp.take(f3p, jnp.asarray(ridx), axis=2)
+            f3p = _residue_cols(f3p, kw, qx, axis=3)
+            if hoist_kout:
+                wt9 = _residue_cols(_residue_rows_nopad(wt9, kh, qy, 1),
+                                    kw, qx, 2)
+                ck9 = _residue_cols(_residue_rows_nopad(ck9, kh, qy, 1),
+                                    kw, qx, 2)
+        if _shared is not None:
+            _shared["f3p"] = f3p
+            if hoist_kout:
+                _shared["wt9"], _shared["ck9"] = wt9, ck9
+
+    tie_y, tie_x = (bool(tie_sig[0]), bool(tie_sig[1])) \
+        if rational is not None else (False, False)
+    if rational is not None:
+        tabs = _rational_tables(h, w, py, qy, px, qx, local_size,
+                                tuple(tie_sig))
         cvs, row_base = tabs["cv"], tabs["row_base"]
         wt_plane, col_start = tabs["wt_plane"], tabs["col_start"]
         rely, relx = tabs["rely"], tabs["relx"]
         ma, mb = tabs["ma"], tabs["mb"]
+        wt_row_el, wt_col_el = tabs["wt_row_el"], tabs["wt_col_el"]
+        epsy, epsx = tabs["epsy"], tabs["epsx"]
         n_phase = cvs.shape[0]
+        if tie_y or tie_x:
+            # masks ride as an extra (n_shift-th) row of rely/relx
+            rely = np.concatenate([rely, epsy[:, None, :]], axis=1)
+            relx = np.concatenate([relx, epsx[:, None, :]], axis=1)
     else:
         dys, dxs, rely, relx = _phase_tables(s, h, w, shifts)
         n_phase = dys.shape[0]
@@ -1278,7 +1457,14 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
     # sel columns: [0 column variant, 1 row base (group·(kh+2) + offset;
     # integer: dy+1), 2 wt plane index, 3 output phase row, 4 column
     # residue (sublane start = residue·kw; integer 0), 5 query row base,
-    # 6 query column residue, 7 wt row-block base, 8 wt column block]
+    # 6 query column residue, 7 wt row-block base, 8 wt column block,
+    # 9/10 tie wt element-row base A/B, 11/12 tie wt element-col A/B]
+    if rational is not None:
+        # element-granularity wt/ck window bases — used by ALL rational
+        # groups (col 9+vy / 11+vx; non-tie groups read only A)
+        tie_cols = np.concatenate([wt_row_el, wt_col_el], axis=-1)
+    else:
+        tie_cols = np.zeros((n_phase, 4), np.int32)
     sel = np.concatenate([
         np.stack([cvs, row_base, wt_plane,
                   np.broadcast_to(np.arange(n_phase)[:, None], cvs.shape),
@@ -1286,6 +1472,7 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
         np.broadcast_to(
             np.stack([ma * (kh + 2) + 1, mb, ma * kh // rows, mb],
                      axis=-1)[:, None, :], cvs.shape + (4,)),
+        np.broadcast_to(tie_cols[:, None, :], cvs.shape + (4,)),
     ], axis=-1).astype(np.int32)
 
     if phase_inner is None:
@@ -1366,25 +1553,43 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
                                 (b, 1, i * rows + sref[p, 0, 5],
                                  0 if qx == 1 else sref[p, 0, 6] * kw,
                                  o_u)))
+    # wt/ck query-window specs. Tie groups fetch the variant windows at
+    # element granularity (the high base's inner offset is not a multiple
+    # of `rows` at a y wrap); the plane index of a variant is a STATIC
+    # decrement of the low-base plane (εy: dy−1 → −3, εx: dx−1 → −1).
+    variants = [(vy, vx) for vy in range(1 + int(tie_y))
+                for vx in range(1 + int(tie_x))]
+    n_var = len(variants)
+
+    def wt_spec(si, vy, vx, lanes_):
+        if n_var == 1 and rational is None:
+            # integer path: block-unit spec (proven round-4 form)
+            return pl.BlockSpec(
+                (1, rows, kw, lanes_),
+                pmap_(lambda b, p, i, sref, s_=si:
+                      (b * 9 + sref[p, s_, 2],
+                       sref[p, 0, 7] + i, sref[p, 0, 8], 0)))
+        return pl.BlockSpec(
+            (Element(1), Element(rows), Element(kw), Element(lanes_)),
+            pmap_(lambda b, p, i, sref, s_=si, vy_=vy, vx_=vx:
+                  (b * 9 + sref[p, s_, 2] - 3 * vy_ - vx_,
+                   sref[p, 0, 9 + vy_] + i * rows,
+                   sref[p, 0, 11 + vx_] * kw, 0)))
+
+    rel_rows = n_shift + (1 if (tie_y or tie_x) else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=((bsz, n_blocks, n_phase) if phase_inner
               else (bsz, n_phase, n_blocks)),
         in_specs=[
             *[main_spec(si) for si in range(n_shift)],
-            *([pl.BlockSpec((1, rows, kw, h_last),
-                            pmap_(lambda b, p, i, sref, s_=si:
-                                  (b * 9 + sref[p, s_, 2],
-                                   sref[p, 0, 7] + i, sref[p, 0, 8], 0)))
-               for si in range(n_shift)]
-              + [pl.BlockSpec((1, rows, kw, 8),
-                              pmap_(lambda b, p, i, sref, s_=si:
-                                    (b * 9 + sref[p, s_, 2],
-                                     sref[p, 0, 7] + i, sref[p, 0, 8], 0)))
-                 for si in range(n_shift)]
+            *([wt_spec(si, vy, vx, h_last)
+               for si in range(n_shift) for vy, vx in variants]
+              + [wt_spec(si, vy, vx, 8)
+                 for si in range(n_shift) for vy, vx in variants]
               if hoist_kout else [q_spec]),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rely (P,S,kh)
-            pl.BlockSpec((1, n_shift, kw),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rely (P,S(+1),kh)
+            pl.BlockSpec((1, rel_rows, kw),
                          pmap_(lambda b, p, i, sref: (p, 0, 0))),
             *[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in w_names],
         ],
@@ -1398,10 +1603,10 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
         main_refs = refs[:n_shift]
         pos = n_shift
         if hoist_kout:
-            wt_refs = refs[pos:pos + n_shift]
-            ck_refs = refs[pos + n_shift:pos + 2 * n_shift]
+            wt_refs = refs[pos:pos + n_shift * n_var]
+            ck_refs = refs[pos + n_shift * n_var:pos + 2 * n_shift * n_var]
             q_ref = None
-            pos += 2 * n_shift
+            pos += 2 * n_shift * n_var
         else:
             wt_refs = ck_refs = None
             q_ref = refs[pos]
@@ -1415,7 +1620,8 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
                             n_shift=n_shift, n_hidden=n_hidden,
                             softmax_scale=softmax_scale, rows=rows,
                             width=kw, dk=dk, dc=dc, hk_p=hk_p, hv_p=hv_p,
-                            hoist_kout=hoist_kout, phase_inner=phase_inner)
+                            hoist_kout=hoist_kout, phase_inner=phase_inner,
+                            tie_y=tie_y, tie_x=tie_x, variants=variants)
 
     mlp_flops = ((n_hidden - 1) * 256 * 256
                  + (0 if hoist_kout else 256 * dk)
@@ -1440,7 +1646,8 @@ def _grid_decode_halo(u_map, csa_map, params, s, shifts, n_hidden,
         interpret=interpret,
     )(jnp.asarray(sel),
       *([f3p] * n_shift),
-      *([wt9] * n_shift + [ck9] * n_shift if hoist_kout else [f3p]),
+      *([wt9] * (n_shift * n_var) + [ck9] * (n_shift * n_var)
+        if hoist_kout else [f3p]),
       jnp.asarray(rely), jnp.asarray(relx),
       *[weights[k] for k in w_names])
     return out[..., :3]

@@ -52,6 +52,42 @@ def _overlap_add(k_maps: jnp.ndarray, hp: int, wp: int, s: int,
     return out
 
 
+def _stencil_reconstruct(attn: jnp.ndarray, embed: jnp.ndarray, hp: int,
+                         wp: int, s: int, channels: int) -> jnp.ndarray:
+    """Differentiable XLA form of the round-4 stencil factorization
+    (ops/pallas/csa_attention.py round-4 section; f64-exact vs the
+    einsum + overlap-add path in tests/test_csa_stencil.py):
+
+        out[s·i'+a, s·j'+b] = Σ_l M[(i',j'), l] · P_ab[l],
+        M = Σ_{d∈{-1,0,1}²} diag-shift_d(attn),  P_ab[l] = embed[s·l+ab]
+
+    — a 9-point diagonal stencil on the (P, L) attention map plus ONE
+    (P, L)@(L, s²C) matmul, replacing the 9s²C-bank einsum and the
+    (B, P, (3s)²C) k_maps intermediate. Used by the TRAINING (autodiff)
+    path; eval uses the fused kernels."""
+    b = attn.shape[0]
+    hq, wq = hp // s, wp // s
+    a5 = attn.reshape(b, hp, wp, hq, wq)
+    padded = jnp.pad(a5, ((0, 0), (1, 1), (1, 1), (1, 1), (1, 1)))
+    m = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = padded[:, dy:dy + hp, dx:dx + wp, dy:dy + hq,
+                        dx:dx + wq]
+            m = sl if m is None else m + sl
+    # phase-plane stack P_ab[l]: embed[s·u+a, s·v+b] -> (B, L, s²C)
+    ph = embed.reshape(b, hq, s, wq, s, channels)
+    ph = ph.transpose(0, 1, 3, 2, 4, 5).reshape(b, hq * wq,
+                                                s * s * channels)
+    if attn.dtype != jnp.float32:
+        ph = ph.astype(attn.dtype)
+    out = jnp.einsum("bpl,blk->bpk", m.reshape(b, hp * wp, hq * wq), ph,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(b, hp, wp, s, s, channels).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, hp * s, wp * s, channels)
+    return out
+
+
 # VMEM admission headroom per TPU generation. The fused CSA kernels were
 # tiled and measured on v5e (128 MiB VMEM/core, ~100 MiB scoped-vmem
 # ceiling in practice); 85 MiB leaves headroom for Mosaic's own buffers.
@@ -340,7 +376,7 @@ class CrossScaleAttention(nn.Module):
                         out_dtype=self.dtype or jnp.float32,
                         interpret=interp)
             else:
-                x_nb, raw = x_nb_raw()
+                x_nb = extract_patches_same(match, self.ksize, self.stride)
                 corr = jnp.einsum("bpk,blk->bpl", x_nb, w_normed,
                                   preferred_element_type=jnp.float32)
                 attn = nn.softmax(corr * self.softmax_scale, axis=-1)
@@ -351,8 +387,23 @@ class CrossScaleAttention(nn.Module):
                 # einsum would upcast the bank and double HBM traffic
                 if self.dtype is not None:
                     attn = attn.astype(self.dtype)
-                k_maps = jnp.einsum("bpl,blk->bpk", attn, raw,
-                                    preferred_element_type=jnp.float32)
+                if self.average:
+                    # round-5: the TRAINING path rides the stencil
+                    # factorization too — same algebra as the round-4
+                    # kernels (f64-exact, tests/test_csa_stencil.py), in
+                    # differentiable XLA: ~5× fewer reconstruction FLOPs
+                    # and no (B, P, (3s)²C) k_maps / 9s²C bank
+                    # intermediates in fwd OR bwd (round-4 verdict
+                    # missing #5: CSA was 16% of the classical step)
+                    y = _stencil_reconstruct(attn, embed, hp, wp, s,
+                                             self.channels)
+                else:
+                    # hard-argmax variant keeps the bank route (the
+                    # one-hot attn defeats the stencil's FLOP win)
+                    raw = extract_patches_same(embed, self.ksize * s,
+                                               self.stride * s)
+                    k_maps = jnp.einsum("bpl,blk->bpk", attn, raw,
+                                        preferred_element_type=jnp.float32)
             if y is None:
                 y = _overlap_add(k_maps, hp, wp, s, self.channels)
 

@@ -143,3 +143,44 @@ def test_csa_module_routes_stencil(rng, monkeypatch):
     out = csa.apply(params, x, flash=True)
     scale = float(jnp.abs(ref).max())
     assert float(jnp.abs(out - ref).max()) / scale < 2e-2
+
+
+def test_stencil_xla_training_path_value_and_grad(rng):
+    """The round-5 differentiable XLA stencil route (models/csa.py
+    _stencil_reconstruct — now the training path for average=True) must
+    match the einsum + overlap-add formulation in VALUE and in GRADIENT
+    (jax.grad through both w.r.t. match/embed inputs)."""
+    import jax
+
+    from ciaosr_tpu.models.csa import _overlap_add, _stencil_reconstruct
+    from ciaosr_tpu.ops.neighborhood import extract_patches_same
+
+    b, hp, wp, s, C, cr = 2, 12, 16, 2, 8, 4
+    match, k, embed = _inputs(rng, b, hp, wp, s, C, cr)
+
+    def attn_of(match):
+        x_nb = extract_patches_same(match, 3, 1)
+        corr = jnp.einsum("bpk,blk->bpl", x_nb, k,
+                          preferred_element_type=jnp.float32)
+        return jax.nn.softmax(corr * 10.0, axis=-1)
+
+    def loss_ein(match, embed):
+        raw = extract_patches_same(embed, 3 * s, s)
+        k_maps = jnp.einsum("bpl,blk->bpk", attn_of(match), raw,
+                            preferred_element_type=jnp.float32)
+        y = _overlap_add(k_maps, hp, wp, s, C)
+        return jnp.sum(y ** 2), y
+
+    def loss_stn(match, embed):
+        y = _stencil_reconstruct(attn_of(match), embed, hp, wp, s, C)
+        return jnp.sum(y ** 2), y
+
+    (le, ye), ge = jax.value_and_grad(loss_ein, argnums=(0, 1),
+                                      has_aux=True)(match, embed)
+    (ls, ys), gs = jax.value_and_grad(loss_stn, argnums=(0, 1),
+                                      has_aux=True)(match, embed)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ye),
+                               atol=1e-5, rtol=1e-5)
+    for a, b_ in zip(ge, gs):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=1e-4, rtol=1e-4)

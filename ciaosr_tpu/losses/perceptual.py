@@ -54,12 +54,30 @@ class PerceptualLoss:
         (and fail fast with a clear error at the first training step)."""
         if self._params is None:
             path = self._pretrained or os.environ.get("CIAOSR_VGG19_WEIGHTS")
+            if path == "synthetic" or (not path and os.environ.get(
+                    "CIAOSR_VGG19_SYNTHETIC")):
+                # weight-less environments (endurance soaks, cost
+                # benchmarks): seeded random VGG19 features — the step
+                # cost and loss plumbing are identical, the features are
+                # untrained. NEVER silently: this is an explicit opt-in.
+                import logging
+                import jax
+                logging.getLogger(__name__).warning(
+                    "PerceptualLoss: using SYNTHETIC (random) VGG19 "
+                    "weights — perceptual values are not comparable to "
+                    "the reference's pretrained features")
+                self._params = jax.jit(self.net.init)(
+                    jax.random.PRNGKey(7),
+                    jnp.zeros((1, 64, 64, 3), jnp.float32))
+                return self._params
             if not path or not os.path.exists(path):
                 raise FileNotFoundError(
                     "PerceptualLoss needs pretrained VGG19 weights. Pass "
                     "pretrained=<path to torchvision vgg19 .pth> in the "
-                    "loss config or set CIAOSR_VGG19_WEIGHTS. (No network "
-                    "access: the reference downloads them via torchvision.)")
+                    "loss config or set CIAOSR_VGG19_WEIGHTS (or "
+                    "CIAOSR_VGG19_SYNTHETIC=1 for explicitly-synthetic "
+                    "soak/benchmark runs). (No network access: the "
+                    "reference downloads them via torchvision.)")
             import torch
             sd = torch.load(path, map_location="cpu", weights_only=False)
             sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd

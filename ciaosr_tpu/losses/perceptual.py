@@ -66,9 +66,13 @@ class PerceptualLoss:
                     "PerceptualLoss: using SYNTHETIC (random) VGG19 "
                     "weights — perceptual values are not comparable to "
                     "the reference's pretrained features")
-                self._params = jax.jit(self.net.init)(
-                    jax.random.PRNGKey(7),
-                    jnp.zeros((1, 64, 64, 3), jnp.float32))
+                # the lazy property can first fire INSIDE a train-step
+                # trace: force concrete (compile-time) evaluation so the
+                # synthetic params are constants, not leaked tracers
+                with jax.ensure_compile_time_eval():
+                    self._params = self.net.init(
+                        jax.random.PRNGKey(7),
+                        jnp.zeros((1, 64, 64, 3), jnp.float32))
                 return self._params
             if not path or not os.path.exists(path):
                 raise FileNotFoundError(

@@ -264,3 +264,27 @@ def test_load_staged_generator_roundtrip(tmp_path, rng):
     got_g, got_ema = load_staged_generator(str(raw))
     np.testing.assert_array_equal(got_g["dense"]["kernel"],
                                   g["dense"]["kernel"])
+
+
+def test_perceptual_synthetic_optin(monkeypatch):
+    """Weight-less environments can opt into seeded-random VGG19
+    features explicitly (pretrained='synthetic' or
+    CIAOSR_VGG19_SYNTHETIC=1) — round 5, used by the 002 soak; without
+    the opt-in the clear FileNotFoundError stands."""
+    import jax.numpy as jnp
+    import pytest
+
+    from ciaosr_tpu.losses.perceptual import PerceptualLoss
+
+    monkeypatch.delenv("CIAOSR_VGG19_WEIGHTS", raising=False)
+    monkeypatch.delenv("CIAOSR_VGG19_SYNTHETIC", raising=False)
+    ploss = PerceptualLoss(layer_weights={"2": 1.0},
+                           pretrained="synthetic")
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    percep, style = ploss(x, x)
+    assert float(percep) == 0.0          # identical inputs
+    with pytest.raises(FileNotFoundError):
+        PerceptualLoss(layer_weights={"2": 1.0})(x, x)
+    monkeypatch.setenv("CIAOSR_VGG19_SYNTHETIC", "1")
+    p2, _ = PerceptualLoss(layer_weights={"2": 1.0})(x, x + 0.1)
+    assert float(p2) > 0.0
